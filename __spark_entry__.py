@@ -3,36 +3,196 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Engine: ``engine/`` — a PySpark-native inverted-index + BM25 query
+engine (SURVEY.md section 7). The ``documents`` table stands in for the
+corpus (doc_id = doc key, text = content). Float-valued results are
+rounded to 4dp on BOTH sides so cross-engine value hashes are stable;
+rank windows order by the rounded score so tie-breaks agree too.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from engine.analysis import stopword_sql_list, tokenize_sql, TOKEN_PATTERN
+from engine.indexer import collection_stats, doc_stats, postings_long, term_df
+from engine.queries_set import queries_df, queries_sql_values
+from engine.search import bm25_scores, query_term_freqs
+
+K1, B = 1.2, 0.75
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------- Spark side
+
+def q_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-(term, doc) term frequency."""
+    return postings_long(_docs(spark, sf_dir)).select("term", "doc_id", "tf")
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-doc analyzed length + content sha (row invariant)."""
+    return doc_stats(_docs(spark, sf_dir), with_sha=True)
+
+
+def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: document frequency per term."""
+    return term_df(postings_long(_docs(spark, sf_dir)))
+
+
+def q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: N + avgdl (avgdl rounded for cross-engine hash stability)."""
+    return collection_stats(doc_stats(_docs(spark, sf_dir))).select(
+        "n_docs", F.round("avgdl", 6).alias("avgdl")
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pl = postings_long(docs)
+    ds = doc_stats(docs)
+    n_docs, avgdl = collection_stats(ds).collect()[0]
+    qt = query_term_freqs(queries_df(spark))
+    return bm25_scores(qt, pl, ds, n_docs, avgdl)
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: OR-semantics accumulated BM25 score per (query, doc)."""
+    return _bm25_scored(spark, sf_dir).select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2: top-10 per query; ranks over the rounded score so the
+    DuckDB oracle's window agrees bit-for-bit."""
+    scored = _bm25_scored(spark, sf_dir).withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def q_trec_runfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: TREC run-file lines (reference LuceneQueryBuilder.java:150-151)."""
+    topk = q_bm25_topk(spark, sf_dir)
+    return topk.select(
+        F.format_string(
+            "%s Q0 %d %d %.4f Lucene-BM25", "query_id", "doc_id", "rank", "score"
+        ).alias("line")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for the reference query set on sf0.001."""
+    return q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tokenize_tf": q_tokenize_tf,
+        "doc_stats": q_doc_stats,
+        "term_df": q_term_df,
+        "collection_stats": q_collection_stats,
+        "bm25_scores": q_bm25_scores,
+        "bm25_topk": q_bm25_topk,
+        "trec_runfile": q_trec_runfile,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------- oracle side
+
+_TOK = tokenize_sql("documents")
+_QTOK = f"""
+    SELECT query_id, term FROM (
+        SELECT query_id,
+               unnest(regexp_extract_all(lower(query), '{TOKEN_PATTERN}')) AS term
+        FROM {queries_sql_values()}
+    ) WHERE term NOT IN ({stopword_sql_list()})
+"""
+
+_BM25_CTES = f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT term, doc_id, count(*)::INT AS tf FROM tok GROUP BY term, doc_id),
+dl AS (SELECT d.doc_id, count(t.term)::BIGINT AS dl
+       FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id),
+stats AS (SELECT count(*) AS n_docs,
+                 (SELECT count(*) FROM tok) * 1.0 / count(*) AS avgdl
+          FROM documents),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt AS (SELECT query_id, term, count(*) AS qtf FROM ({_QTOK}) GROUP BY query_id, term),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           SUM(qt.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / s.avgdl))) AS score
+    FROM qt
+    JOIN df USING (term)
+    JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats s
+    GROUP BY qt.query_id, tf.doc_id
+)
+"""
+
+_TOPK_SQL = f"""
+{_BM25_CTES}
+SELECT query_id, doc_id, score, rank FROM (
+    SELECT query_id, doc_id, ROUND(score, 4) AS score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ROUND(score, 4) DESC, doc_id ASC) AS rank
+    FROM scored
+) WHERE rank <= 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tokenize_tf": f"""
+            WITH tok AS ({_TOK})
+            SELECT term, doc_id, count(*)::INT AS tf FROM tok GROUP BY term, doc_id
+        """,
+        "doc_stats": f"""
+            WITH tok AS ({_TOK})
+            SELECT d.doc_id, count(t.term)::BIGINT AS dl,
+                   sha256(d.text) AS content_sha
+            FROM documents d LEFT JOIN tok t USING (doc_id)
+            GROUP BY d.doc_id, d.text
+        """,
+        "term_df": f"""
+            WITH tok AS ({_TOK}),
+            tf AS (SELECT term, doc_id FROM tok GROUP BY term, doc_id)
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        """,
+        "collection_stats": f"""
+            WITH tok AS ({_TOK})
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   ROUND((SELECT count(*) FROM tok) * 1.0
+                         / (SELECT count(*) FROM documents), 6) AS avgdl
+        """,
+        "bm25_scores": f"""
+            {_BM25_CTES}
+            SELECT query_id, doc_id, ROUND(score, 4) AS score FROM scored
+        """,
+        "bm25_topk": _TOPK_SQL,
+        "trec_runfile": f"""
+            WITH topk AS ({_TOPK_SQL})
+            SELECT printf('%s Q0 %d %d %.4f Lucene-BM25',
+                          query_id, doc_id, rank, score) AS line
+            FROM topk
+        """,
+    }
