@@ -87,6 +87,45 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) the compressed checkpointed
+    index for the documents table in a temp dir."""
+    if sf_dir not in _INDEX_CACHE:
+        import tempfile
+
+        from engine.postings import build_index
+
+        out = tempfile.mkdtemp(prefix="bm25_index_")
+        build_index(spark, _docs(spark, sf_dir), out, n_shards=4,
+                    hot_df_threshold=100, n_salts=4)
+        _INDEX_CACHE[sf_dir] = out
+    return _INDEX_CACHE[sf_dir]
+
+
+def q_bm25_topk_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star path: blocked delta+varbyte postings (checkpointed,
+    skew-salted) served with block-max pruning — must be rank-identical
+    to the plain SQL oracle."""
+    from engine.csearch import search_index
+    from engine.postings import read_index
+
+    idx = read_index(spark, _index_dir(spark, sf_dir))
+    # retrieve a k=100 buffer at full precision, then re-rank by the
+    # ROUNDED score so the cutoff agrees with the oracle's window
+    res = search_index(spark, idx, queries_df(spark), k=100, prune=True)
+    scored = res.withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.select("query_id", "doc_id", "score")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def q_trec_runfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2: TREC run-file lines (reference LuceneQueryBuilder.java:150-151)."""
     topk = q_bm25_topk(spark, sf_dir)
@@ -110,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_stats": q_collection_stats,
         "bm25_scores": q_bm25_scores,
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_compressed": q_bm25_topk_compressed,
         "trec_runfile": q_trec_runfile,
     }
 
@@ -189,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, doc_id, ROUND(score, 4) AS score FROM scored
         """,
         "bm25_topk": _TOPK_SQL,
+        "bm25_topk_compressed": _TOPK_SQL,
         "trec_runfile": f"""
             WITH topk AS ({_TOPK_SQL})
             SELECT printf('%s Q0 %d %d %.4f Lucene-BM25',

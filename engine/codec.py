@@ -1,0 +1,157 @@
+"""Delta + varbyte blocked posting-list codec (SURVEY.md section 7.3).
+
+The reference delegates this to Lucene's postings format (sorted docID
+deltas, variable-length encoding, per-block skip data — created by
+IndexWriter, LuceneIndexBuilder.java:35,41). Here it's a from-scratch
+numpy implementation:
+
+  * postings are split into blocks of BLOCK_SIZE (=128, like Lucene);
+  * within a block, doc_ids are delta-encoded with the FIRST VALUE
+    ABSOLUTE (deltas restart per block) so each block decodes
+    independently — this is what makes block-max pruning real: a
+    pruned block is never even decoded;
+  * deltas / tfs / dls are varbyte-encoded (7 data bits per byte,
+    little-endian groups, high bit = continuation);
+  * per-doc dl (analyzed length) is stored alongside — the query path
+    never joins doc_stats, exactly like Lucene reading norms from the
+    index;
+  * per block we keep: last doc_id (skip pointer), max BM25 tf-part
+    (score upper bound before idf), and the byte offset of the block
+    in each stream.
+
+All codec loops are over byte positions (<=10 for 64-bit) or blocks
+(n/128), never over postings — vectorized numpy inside Arrow batches,
+no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+K1 = 1.2
+B = 0.75
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte encode of a non-negative int array."""
+    a = np.asarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    nb = np.ones(a.size, dtype=np.int64)  # bytes per value
+    v = a >> np.uint64(7)
+    while v.any():
+        nb += (v > 0).astype(np.int64)
+        v >>= np.uint64(7)
+    out = np.zeros(int(nb.sum()), dtype=np.uint8)
+    starts = np.zeros(a.size, dtype=np.int64)
+    starts[1:] = np.cumsum(nb)[:-1]
+    for k in range(int(nb.max())):
+        mask = nb > k
+        byte = ((a[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[mask] - 1 != k)  # continuation bit on all but last byte
+        out[starts[mask] + k] = byte | (cont.astype(np.uint8) << np.uint8(7))
+    return out.tobytes()
+
+
+def varbyte_decode(buf) -> np.ndarray:
+    """Vectorized varbyte decode -> uint64 array."""
+    b = np.frombuffer(bytes(buf), dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    vals = np.zeros(ends.size, dtype=np.uint64)
+    width = ends - starts + 1
+    for k in range(int(width.max())):
+        mask = width > k
+        pos = starts[mask] + k
+        vals[mask] |= (b[pos].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * k)
+    return vals
+
+
+def tf_part(tf: np.ndarray, dl: np.ndarray, avgdl: float,
+            k1: float = K1, b: float = B) -> np.ndarray:
+    """BM25 tf saturation (score contribution before idf)."""
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / float(avgdl)))
+
+
+def encode_blocked(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Sort by doc_id and encode into independent blocks.
+
+    Returns dict with doc_bytes/tf_bytes/dl_bytes (bytes), block_last
+    (list[int]), block_max (list[float]), doc_off/tf_off/dl_off
+    (list[int] byte start offsets per block).
+    """
+    order = np.argsort(doc_ids, kind="stable")
+    d = np.asarray(doc_ids, dtype=np.uint64)[order]
+    t = np.asarray(tfs, dtype=np.uint64)[order]
+    dl = np.asarray(dls, dtype=np.uint64)[order]
+    part = tf_part(t, dl, avgdl) if avgdl > 0 else np.zeros(d.size)
+
+    n_blocks = (d.size + block_size - 1) // block_size
+    doc_chunks, tf_chunks, dl_chunks = [], [], []
+    block_last, block_max = [], []
+    doc_off, tf_off, dl_off = [], [], []
+    dpos = tpos = lpos = 0
+    for i in range(n_blocks):
+        lo, hi = i * block_size, min((i + 1) * block_size, d.size)
+        seg = d[lo:hi]
+        gaps = np.empty_like(seg)
+        gaps[0] = seg[0]  # absolute restart per block
+        gaps[1:] = seg[1:] - seg[:-1]
+        db = varbyte_encode(gaps)
+        tb = varbyte_encode(t[lo:hi])
+        lb = varbyte_encode(dl[lo:hi])
+        doc_off.append(dpos); tf_off.append(tpos); dl_off.append(lpos)
+        dpos += len(db); tpos += len(tb); lpos += len(lb)
+        doc_chunks.append(db); tf_chunks.append(tb); dl_chunks.append(lb)
+        block_last.append(int(seg[-1]))
+        block_max.append(float(part[lo:hi].max()) if hi > lo else 0.0)
+    return {
+        "doc_bytes": b"".join(doc_chunks),
+        "tf_bytes": b"".join(tf_chunks),
+        "dl_bytes": b"".join(dl_chunks),
+        "block_last": block_last,
+        "block_max": block_max,
+        "doc_off": doc_off,
+        "tf_off": tf_off,
+        "dl_off": dl_off,
+    }
+
+
+def decode_blocked(
+    doc_bytes, tf_bytes, dl_bytes, doc_off, tf_off, dl_off, keep=None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a blocked posting list; ``keep`` (iterable of block
+    indices) decodes only those blocks — pruned blocks cost zero work."""
+    doc_bytes, tf_bytes, dl_bytes = bytes(doc_bytes), bytes(tf_bytes), bytes(dl_bytes)
+    n_blocks = len(doc_off)
+    idxs = range(n_blocks) if keep is None else sorted(int(i) for i in keep)
+    d_parts, t_parts, l_parts = [], [], []
+    for i in idxs:
+        d_end = doc_off[i + 1] if i + 1 < n_blocks else len(doc_bytes)
+        t_end = tf_off[i + 1] if i + 1 < n_blocks else len(tf_bytes)
+        l_end = dl_off[i + 1] if i + 1 < n_blocks else len(dl_bytes)
+        gaps = varbyte_decode(doc_bytes[doc_off[i]:d_end])
+        d_parts.append(np.cumsum(gaps, dtype=np.uint64))
+        t_parts.append(varbyte_decode(tf_bytes[tf_off[i]:t_end]))
+        l_parts.append(varbyte_decode(dl_bytes[dl_off[i]:l_end]))
+    if not d_parts:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    return (
+        np.concatenate(d_parts).astype(np.int64),
+        np.concatenate(t_parts).astype(np.int64),
+        np.concatenate(l_parts).astype(np.int64),
+    )

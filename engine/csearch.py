@@ -1,0 +1,235 @@
+"""BM25 serving over the compressed index, with block-max pruning.
+
+Reference analog: LuceneQueryBuilder.java:163 scores every candidate of
+the OR query (Lucene 7.2 predates block-max WAND); the north_star asks
+for a block-max-style prune, so this module implements a safe
+MaxScore/BMW-flavored two-phase plan expressed as DataFrame ops
+(SURVEY.md section 4, last row):
+
+  phase 0  query terms (tiny, broadcast) join postings rows filtered
+           with term IN (<query terms>) — the IN list is pushed into
+           the parquet scan, so only matching row groups are read.
+  phase 1  threshold: fully score ONLY the rarest (highest-idf) term of
+           each query; the k-th best single-term score is a valid lower
+           bound θ on the final k-th score.
+  phase 2  block filter: a block b of term t is provably irrelevant if
+               UBsum(q) - w_t*tmax_t + w_t*block_max_b < θ(q)
+           where w_t = qtf*idf and UBsum = Σ_t w_t*tmax_t is the
+           best-possible doc score. Every doc in such a block scores
+           below θ, so it cannot enter the top-k, and any partial score
+           it still receives from other terms lands below θ and is cut
+           by the final top-k window — results stay RANK-IDENTICAL to
+           the unpruned plan (tested).
+  phase 3  decode only surviving blocks (blocks are delta-restarted, so
+           pruned blocks are never touched), compute term scores in
+           numpy, then JVM-side groupBy(query,doc).sum + top-k window.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+from pyspark.sql.window import Window
+
+from . import TOP_K
+from .codec import decode_blocked, tf_part
+from .search import idf_expr
+
+SCORE_ROWS = StructType(
+    [
+        StructField("query_id", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("term_score", DoubleType(), False),
+    ]
+)
+
+
+def _decode_score_iter(avgdl: float, keep_col: str | None):
+    """mapInPandas kernel: posting rows -> (query_id, doc_id, term_score).
+
+    The Python loop is per posting-LIST row (query x term x salt), never
+    per posting; inside, everything is vectorized numpy.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            qids, docs, scores = [], [], []
+            for r in pdf.itertuples(index=False):
+                keep = getattr(r, keep_col) if keep_col else None
+                if keep_col and keep is not None and len(keep) == 0:
+                    continue
+                d, t, dl = decode_blocked(
+                    r.doc_bytes, r.tf_bytes, r.dl_bytes,
+                    r.doc_off, r.tf_off, r.dl_off,
+                    keep=None if keep is None else keep,
+                )
+                if d.size == 0:
+                    continue
+                s = float(r.w) * tf_part(t, dl, avgdl)
+                qids.append(np.full(d.size, r.query_id, dtype=object))
+                docs.append(d)
+                scores.append(s)
+            if qids:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(qids),
+                        "doc_id": np.concatenate(docs),
+                        "term_score": np.concatenate(scores),
+                    }
+                )
+
+    return fn
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def local_query_terms(spark: SparkSession, queries: DataFrame):
+    """Tokenize the (by definition tiny) query set driver-side: the
+    reference also analyzes queries on the driver
+    (LuceneQueryBuilder.java:98-117). Avoids two Spark jobs per search.
+    Returns (qt DataFrame (query_id, term, qtf), distinct term list)."""
+    from collections import Counter
+
+    from .analysis import tokenize_series
+
+    rows = queries.select("query_id", "query").collect()
+    qt_rows, terms = [], set()
+    toks = tokenize_series(pd.Series([r["query"] for r in rows]))
+    for r, ts in zip(rows, toks):
+        for term, qtf in Counter(ts).items():
+            qt_rows.append((r["query_id"], term, float(qtf)))
+            terms.add(term)
+    if not qt_rows:
+        return None, []
+    qt = spark.createDataFrame(qt_rows, "query_id string, term string, qtf double")
+    return qt, sorted(terms)
+
+
+# prune only when posting lists are long enough that skipping decode
+# work pays for the extra threshold pass (~8 blocks of 128 per term)
+AUTO_PRUNE_MIN_DOCS = 100_000
+
+
+def search_index(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    k: int = TOP_K,
+    prune: bool | str = "auto",
+) -> DataFrame:
+    """Top-k BM25 over a compressed index (from postings.build_index /
+    read_index). Returns (query_id, doc_id, score, rank)."""
+    n_docs, avgdl = index["n_docs"], index["avgdl"]
+    if prune == "auto":
+        prune = n_docs >= AUTO_PRUNE_MIN_DOCS
+    qt, terms = local_query_terms(spark, queries)
+    empty = spark.createDataFrame(
+        [], "query_id string, doc_id long, score double, rank int"
+    )
+    if not terms or n_docs == 0 or avgdl <= 0:
+        return empty
+
+    q = F.broadcast(qt)
+    rows = (
+        index["postings"]
+        .where(F.col("term").isin(terms))
+        .join(q, "term")
+        .withColumn("idf", idf_expr(n_docs))
+        .withColumn("w", F.col("qtf") * F.col("idf"))
+    )
+
+    if not prune:
+        scored = (
+            rows.select("query_id", "w", "doc_bytes", "tf_bytes", "dl_bytes",
+                        "doc_off", "tf_off", "dl_off")
+            .mapInPandas(_decode_score_iter(avgdl, None), SCORE_ROWS)
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("term_score").alias("score"))
+        )
+        return _topk(scored, k)
+
+    rows = rows.cache()
+
+    # phase 1: θ from the rarest term of each query (all its salt rows)
+    wmax = Window.partitionBy("query_id")
+    rare = rows.withColumn("idf_max", F.max("idf").over(wmax)).where(
+        F.col("idf") == F.col("idf_max")
+    )
+    rare = rare.withColumn(
+        "rare_term", F.min("term").over(wmax)
+    ).where(F.col("term") == F.col("rare_term"))
+    phase1 = (
+        rare.select("query_id", "w", "doc_bytes", "tf_bytes", "dl_bytes",
+                    "doc_off", "tf_off", "dl_off")
+        .mapInPandas(_decode_score_iter(avgdl, None), SCORE_ROWS)
+    )
+    wrank = Window.partitionBy("query_id").orderBy(
+        F.col("term_score").desc(), F.col("doc_id").asc()
+    )
+    theta = (
+        phase1.withColumn("rn", F.row_number().over(wrank))
+        .where(F.col("rn") <= k)
+        .groupBy("query_id")
+        .agg(F.min("term_score").alias("theta"), F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "theta",
+            F.when(F.col("cnt") >= k, F.col("theta")).otherwise(F.lit(float("-inf"))),
+        )
+        .select("query_id", "theta")
+    )
+
+    # phase 2: per-(query,term) tmax, per-query UBsum, then a block keep
+    # list computed with JVM higher-order functions (no explode, no
+    # shuffle of the byte payloads)
+    qterm = rows.groupBy("query_id", "term", "w").agg(
+        F.max(F.array_max("block_max")).alias("tmax")
+    )
+    ub = qterm.groupBy("query_id").agg(
+        F.sum(F.col("w") * F.col("tmax")).alias("ubsum")
+    )
+    meta = F.broadcast(
+        qterm.join(ub, "query_id")
+        .join(theta, "query_id", "left")
+        .withColumn("theta", F.coalesce(F.col("theta"), F.lit(float("-inf"))))
+        .select("query_id", "term", "tmax", "ubsum", "theta")
+    )
+
+    slack = F.col("theta") - (F.col("ubsum") - F.col("w") * F.col("tmax"))
+    blocks = (
+        rows.join(meta, ["query_id", "term"])
+        .withColumn(
+            "keep_blocks",
+            F.filter(
+                F.transform(
+                    "block_max",
+                    lambda x, i: F.when(F.col("w") * x >= slack, i).otherwise(
+                        F.lit(-1)
+                    ),
+                ),
+                lambda i: i >= 0,
+            ),
+        )
+    )
+    scored = (
+        blocks.select("query_id", "w", "doc_bytes", "tf_bytes", "dl_bytes",
+                      "doc_off", "tf_off", "dl_off", "keep_blocks")
+        .mapInPandas(_decode_score_iter(avgdl, "keep_blocks"), SCORE_ROWS)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    return _topk(scored, k)

@@ -70,6 +70,7 @@ def bm25_scores(
     n_docs: int,
     avgdl: float,
     dfs: DataFrame | None = None,
+    terms: list[str] | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score) — the OR-semantics score accumulation.
 
@@ -80,7 +81,8 @@ def bm25_scores(
     """
     if dfs is None:
         dfs = term_df(postings)
-    terms = [r["term"] for r in query_terms.select("term").distinct().collect()]
+    if terms is None:
+        terms = [r["term"] for r in query_terms.select("term").distinct().collect()]
     if not terms:
         # all-stopword / empty query set: no scores at all
         return query_terms.select(
@@ -133,14 +135,14 @@ def search_corpus(
     Convenience path that builds the uncompressed index inline; real
     deployments build once (indexer/postings) and query many times.
     """
+    from .csearch import local_query_terms
+
     pl = postings_long(corpus, id_col, text_col)
     ds = doc_stats(corpus, id_col, text_col)
     n_docs, avgdl = _cstats(ds).collect()[0]
-    qt = query_term_freqs(queries)
-    if avgdl is None or n_docs == 0:
-        return topk(
-            qt.select("query_id", F.lit(None).cast("long").alias("doc_id"),
-                      F.lit(None).cast("double").alias("score")).where(F.lit(False)),
-            k,
+    qt, terms = local_query_terms(spark, queries)
+    if avgdl is None or n_docs == 0 or not terms:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, score double, rank int"
         )
-    return topk(bm25_scores(qt, pl, ds, n_docs, avgdl), k)
+    return topk(bm25_scores(qt, pl, ds, n_docs, avgdl, terms=terms), k)
