@@ -136,6 +136,77 @@ def q_trec_runfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- training-data pipeline operators
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.textops import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.textops import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.textops import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.textops import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, k=3)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5, k=3)
+
+
+def q_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, query_ids=list(range(5)), k=5)
+
+
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN (rows-only check: LSH recall is data-dependent)."""
+    from engine.similarity import rp_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return rp_lsh_topk(spark, emb, query_ids=list(range(5)), k=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for the reference query set on sf0.001."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -151,6 +222,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_compressed": q_bm25_topk_compressed,
         "trec_runfile": q_trec_runfile,
+        "token_counts": q_token_counts,
+        "language_id": q_language_id,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_sig": q_simhash_sig,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "embedding_ann_lsh": q_embedding_ann_lsh,  # rows-only (approx)
     }
 
 
@@ -236,4 +318,29 @@ def oracle_sql() -> dict[str, str]:
                           query_id, doc_id, rank, score) AS line
             FROM topk
         """,
+        **_pipeline_oracles(),
+    }
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    from engine.dedup import (
+        exact_dedup_sql, minhash_lsh_sql, ngram_jaccard_sql,
+        simhash_pairs_sql, simhash_sql,
+    )
+    from engine.similarity import cosine_topk_sql
+    from engine.textops import (
+        fingerprint_sql, language_id_sql, quality_score_sql, token_counts_sql,
+    )
+
+    return {
+        "token_counts": token_counts_sql(),
+        "language_id": language_id_sql(),
+        "quality_score": quality_score_sql(),
+        "fingerprint": fingerprint_sql(),
+        "exact_dedup": exact_dedup_sql(),
+        "ngram_jaccard": ngram_jaccard_sql(threshold=0.5, k=3),
+        "minhash_lsh": minhash_lsh_sql(threshold=0.5, k=3),
+        "simhash_sig": simhash_sql(),
+        "simhash_pairs": simhash_pairs_sql(max_hamming=3),
+        "embedding_cosine_topk": cosine_topk_sql(list(range(5)), k=5),
     }

@@ -1,0 +1,374 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each a standard public technique re-expressed as Spark
+DataFrame algebra with a DuckDB-expressible twin where practical:
+
+  exact_dedup      sha256(content) hash-groupBy; canonical = min doc_id
+  ngram_jaccard    k-token-shingle Jaccard over shingle-equi-join pairs
+                   (exact; quadratic in docs-sharing-a-shingle — use
+                   minhash_lsh as the candidate generator at scale)
+  minhash_lsh      MinHash signatures (min of md5(seed||shingle) per
+                   hash — string min, portable across engines) banded
+                   into LSH buckets; same-bucket pairs are candidates
+  simhash          64-bit weighted-bit fingerprint via md5-derived bits;
+                   near-dups have small Hamming distance
+
+Portability note: every hash is md5-hex based (identical in Spark,
+DuckDB, and hashlib), never engine-specific xxhash/murmur, so the
+correctness gate can replay the math.
+
+Scale notes: exact dedup is one shuffle on a high-entropy key (no
+skew). MinHash-LSH is the 100 TB path: signatures are a narrow
+projection, band buckets shuffle only (band_key, doc_id) pairs, and the
+candidate verify joins shingle sets only for same-bucket pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .analysis import with_tokens
+from .textops import shingles_expr
+
+N_HASHES = 12
+N_BANDS = 4  # rows per band = N_HASHES // N_BANDS = 3
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, content_sha, canonical_id, is_dup): rows whose content
+    hash collides share a canonical_id (the smallest doc_id)."""
+    h = docs.select(
+        F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("content_sha")
+    )
+    w = Window.partitionBy("content_sha")
+    return h.select(
+        "doc_id",
+        "content_sha",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+
+
+def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc_id, shingle) distinct k-token shingles per doc."""
+    d = with_tokens(docs, text_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles_expr(F.col("tokens"), k)).alias("sh"),
+    )
+    return d.select("doc_id", F.explode("sh").alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard >=
+    threshold (doc_a < doc_b). Exact: equi-join on shared shingles
+    counts the intersection; union = |A|+|B|-inter."""
+    sh = _doc_shingles(docs, id_col, text_col, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, h0..h{n-1}): MinHash signature; hash i of a doc is
+    min over shingles of md5('<i>|' || shingle) — md5-hex string min is
+    portable across engines. Docs with no shingles get md5('<i>|').
+
+    One narrow aggregation; no joins."""
+    sh = _doc_shingles(docs, id_col, text_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    k: int = 3,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): near-dup pairs from banded MinHash LSH,
+    verified with exact shingle Jaccard. Candidate generation touches
+    only (band_key, doc_id); verification joins only same-bucket pairs."""
+    rows = n_hashes // n_bands
+    sig = minhash_signatures(docs, n_hashes, k, id_col, text_col)
+    bands = []
+    for bidx in range(n_bands):
+        cols = [F.col(f"h{i}") for i in range(bidx * rows, (bidx + 1) * rows)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.md5(F.concat_ws("|", F.lit(str(bidx)), *cols)).alias("band_key"),
+            )
+        )
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionAll(b)
+    a = allb.alias("a")
+    b = allb.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard
+    sh = _doc_shingles(docs, id_col, text_col, k)
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
+    j = (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter")
+                    / (F.size("sha") + F.size("shb") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return j.select("doc_a", "doc_b", "jaccard")
+
+
+SIMHASH_BITS = 48
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): weighted-bit fingerprint. Bit b of token t is
+    the high bit of hex digit b of md5(t) (b < 32) or md5('x'||t)
+    (b >= 32); the doc bit is 1 when the tf-weighted sum of (2*bit - 1)
+    is positive. 48 bits keeps the signature in a signed BIGINT for
+    cross-engine comparison. All JVM-side higher-order functions."""
+    d = with_tokens(docs, text_col).select(
+        F.col(id_col).alias("doc_id"), F.explode("tokens").alias("term")
+    ).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+    h1 = F.md5(F.col("term"))
+    h2 = F.md5(F.concat(F.lit("x"), F.col("term")))
+    # per (doc, term): array of +tf/-tf per bit
+    contribs = []
+    for b in range(bits):
+        src = h1 if b < 32 else h2
+        nib = F.substring(src, (b % 32) + 1, 1)
+        bit = nib.isin("8", "9", "a", "b", "c", "d", "e", "f")
+        contribs.append(
+            F.sum(F.when(bit, F.col("tf")).otherwise(-F.col("tf"))).alias(f"b{b}")
+        )
+    per_doc = d.groupBy("doc_id").agg(*contribs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b)).otherwise(F.lit(0))
+    return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_a, doc_b, hamming): pairs within Hamming distance. Candidate
+    generation blocks on 4 x 12-bit chunks (a pair within distance 3
+    must agree on at least one chunk — pigeonhole), so the self-join is
+    on chunk buckets, never all-pairs."""
+    sig = simhash(docs, id_col, text_col).cache()
+    chunks = []
+    for c in range(4):
+        chunks.append(
+            sig.select(
+                "doc_id", "simhash",
+                F.concat_ws(":", F.lit(str(c)),
+                            (F.shiftright("simhash", c * 12) % 4096).cast("string")
+                            ).alias("bucket"),
+            )
+        )
+    allc = chunks[0]
+    for ch in chunks[1:]:
+        allc = allc.unionAll(ch)
+    a, b = allc.alias("a"), allc.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("a.simhash").alias("sig_a"),
+                F.col("b.doc_id").alias("doc_b"), F.col("b.simhash").alias("sig_b"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ----------------------------------------------------------- oracle SQL twins
+
+def _shingle_cte(table: str = "documents", k: int = 3) -> str:
+    """DuckDB CTE producing distinct (doc_id, shingle) over analyzer
+    tokens — the twin of _doc_shingles."""
+    from .analysis import stopword_sql_list, TOKEN_PATTERN
+
+    return f"""
+tok AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'),
+                       t -> t NOT IN ({stopword_sql_list()})) AS toks
+    FROM {table}
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(toks[i:i+{k - 1}], ' ') AS shingle
+    FROM tok, unnest(generate_series(1, greatest(len(toks) - {k - 1}, 0))) AS g(i)
+)"""
+
+
+def exact_dedup_sql(table: str = "documents") -> str:
+    return f"""
+        SELECT doc_id, content_sha, canonical_id,
+               doc_id != canonical_id AS is_dup
+        FROM (
+            SELECT doc_id, sha256(text) AS content_sha,
+                   min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id
+            FROM {table}
+        )
+    """
+
+
+def ngram_jaccard_sql(table: str = "documents", threshold: float = 0.8,
+                      k: int = 3) -> str:
+    return f"""
+        WITH {_shingle_cte(table, k)},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE i::DOUBLE / (sa.n + sb.n - i) >= {threshold}
+    """
+
+
+def minhash_lsh_sql(table: str = "documents", threshold: float = 0.7,
+                    k: int = 3, n_hashes: int = N_HASHES,
+                    n_bands: int = N_BANDS) -> str:
+    rows = n_hashes // n_bands
+    sig_cols = ", ".join(
+        f"min(CASE WHEN i = {i} THEN h END) AS h{i}" for i in range(n_hashes)
+    )
+    band_selects = []
+    for b in range(n_bands):
+        cols = ", ".join(f"h{i}" for i in range(b * rows, (b + 1) * rows))
+        band_selects.append(
+            f"SELECT doc_id, md5(concat_ws('|', '{b}', {cols})) AS band_key FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+        WITH {_shingle_cte(table, k)},
+        mh AS (
+            SELECT doc_id, i,
+                   min(md5(concat(i::VARCHAR, '|', shingle))) AS h
+            FROM sh CROSS JOIN unnest(generate_series(0, {n_hashes - 1})) AS s(i)
+            GROUP BY doc_id, i
+        ),
+        sig AS (SELECT doc_id, {sig_cols} FROM mh GROUP BY doc_id),
+        bands AS ({bands}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b USING (band_key)
+            WHERE a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b,
+               ROUND(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+        FROM cand c
+        JOIN inter ON c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b
+        JOIN sizes sa ON c.doc_a = sa.doc_id
+        JOIN sizes sb ON c.doc_b = sb.doc_id
+        WHERE i::DOUBLE / (sa.n + sb.n - i) >= {threshold}
+    """
+
+
+def simhash_sql(table: str = "documents", bits: int = SIMHASH_BITS) -> str:
+    from .analysis import stopword_sql_list, TOKEN_PATTERN
+
+    return f"""
+        WITH tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_extract_all(lower(text), '{TOKEN_PATTERN}'),
+                           t -> t NOT IN ({stopword_sql_list()}))) AS term
+                FROM {table}
+            ) GROUP BY doc_id, term
+        ),
+        bitsum AS (
+            SELECT doc_id, b,
+                   sum(CASE WHEN substring(
+                           CASE WHEN b < 32 THEN md5(term)
+                                ELSE md5('x' || term) END,
+                           (b % 32) + 1, 1)
+                       IN ('8','9','a','b','c','d','e','f')
+                       THEN tf ELSE -tf END) AS s
+            FROM tf CROSS JOIN unnest(generate_series(0, {bits - 1})) AS g(b)
+            GROUP BY doc_id, b
+        )
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+                   AS simhash
+        FROM bitsum GROUP BY doc_id
+    """
+
+
+def simhash_pairs_sql(table: str = "documents", max_hamming: int = 3,
+                      bits: int = SIMHASH_BITS) -> str:
+    """All-pairs oracle — also proves the Spark side's chunk-bucket
+    candidate generation (pigeonhole) loses no pair."""
+    return f"""
+        WITH sig AS ({simhash_sql(table, bits)})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """

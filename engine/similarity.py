@@ -1,0 +1,194 @@
+"""Embedding similarity search (brute-force + LSH-bucketed ANN).
+
+Over the `embeddings` table (vec_id, embedding: array<float>, label).
+
+  cosine_topk      exact brute-force top-k neighbors for a set of query
+                   vectors: broadcast the (small) query side, compute
+                   cosine with JVM higher-order functions (zip_with +
+                   aggregate — no Python), window top-k per query.
+  rp_lsh_topk      approximate: random-hyperplane LSH — bucket =
+                   sign-bit string of dot products with d_h deterministic
+                   md5-derived hyperplanes; candidates share a bucket
+                   (multi-probe over h tables), then exact re-rank.
+                   The scale path: the self-join is per-bucket, never
+                   all-pairs, and buckets are tunable via n_planes.
+
+Scale notes: brute force is O(Q*N) — fine when Q is small or as the
+per-bucket re-rank; the LSH variant bounds candidates per query. At
+100 TB you persist bucketed embeddings sorted by bucket so the
+candidate join is co-located (bucket pruning on the scan).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_expr(a, b):
+    """Cosine similarity of two float-array columns, JVM-side."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, cos, rank): exact top-k cosine neighbors of
+    each query vector (excluding self), ties broken by vec_id asc."""
+    q = (
+        embeddings.where(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    )
+    joined = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "cos", F.round(cosine_expr(F.col("qvec"), F.col("vec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, table: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — no RNG state,
+    reproducible across runs/engines."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        vals = []
+        for j in range(dim):
+            h = hashlib.md5(f"{table}|{p}|{j}".encode()).hexdigest()
+            vals.append(int(h[:8], 16) / 2**31 - 1.0)  # ~U(-1, 1)
+        planes.append(vals)
+    return planes
+
+
+def rp_lsh_topk(
+    spark,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 6,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH: per table the
+    bucket is the sign-bit string over n_planes md5-derived hyperplanes;
+    with multiprobe=1 the query also probes every bucket at Hamming
+    distance 1 (single flipped bit), the standard recall booster that
+    costs query-side rows only. Candidates are exact-re-ranked.
+
+    Effective on data with neighbor structure (near-dup embeddings,
+    clusters); on isotropic random vectors no sublinear method retains
+    recall — use cosine_topk there."""
+    dim = len(embeddings.select(vec_col).first()[0])
+
+    def bucket_col(table: int):
+        planes = _hyperplanes(dim, n_planes, table)
+        bits = []
+        for p in planes:
+            arr = F.array(*[F.lit(float(v)) for v in p])
+            bits.append(
+                F.when(_dot(F.transform(F.col("vec"), lambda x: x.cast("double")),
+                            arr) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            )
+        return F.concat(F.lit(f"t{table}:"), *bits)
+
+    base = embeddings.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).alias("vec"))
+    bucketed = None
+    for t in range(n_tables):
+        b = base.withColumn("bucket", bucket_col(t).alias("bucket"))
+        bucketed = b if bucketed is None else bucketed.unionAll(b)
+
+    qb = bucketed.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "bucket"
+    )
+    if multiprobe >= 1:
+        # probe all Hamming-distance-1 buckets: bit i of the suffix flipped
+        prefix_len = len("t0:")
+        variants = [F.col("bucket")]
+        for i in range(n_planes):
+            pos = prefix_len + i + 1  # 1-based for substring
+            flipped = F.when(
+                F.substring("bucket", pos, 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1"))
+            variants.append(
+                F.concat(
+                    F.substring("bucket", 1, pos - 1),
+                    flipped,
+                    F.expr(f"substring(bucket, {pos + 1})"),
+                )
+            )
+        qb = qb.select(
+            "query_id", "qvec",
+            F.explode(F.array(*variants)).alias("bucket"),
+        )
+    cand = (
+        bucketed.join(F.broadcast(qb), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qvec", "vec_id", "vec")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cos", F.round(cosine_expr(F.col("qvec"), F.col("vec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+# ------------------------------------------------------------ oracle SQL twin
+
+def cosine_topk_sql(query_ids: list[int], k: int = 5,
+                    table: str = "embeddings") -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM {table} WHERE vec_id IN ({ids})
+        ),
+        sc AS (
+            SELECT q.query_id, e.vec_id,
+                   ROUND(
+                       list_sum(list_transform(generate_series(1, len(q.qv)),
+                                i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(q.qv,
+                                x -> x::DOUBLE * x::DOUBLE)))
+                          * sqrt(list_sum(list_transform(e.embedding,
+                                x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos
+            FROM {table} e CROSS JOIN q
+            WHERE e.vec_id != q.query_id
+        )
+        SELECT query_id, vec_id, cos, rank FROM (
+            SELECT query_id, vec_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM sc
+        ) WHERE rank <= {k}
+    """
