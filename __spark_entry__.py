@@ -207,6 +207,291 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp_lsh_topk(spark, emb, query_ids=list(range(5)), k=5)
 
 
+# --------------------------------------------- rerank / LM / feature layer
+
+def _rounded_rank(df: DataFrame, score_col: str, k: int) -> DataFrame:
+    """Window rank over the ROUNDED score (cross-engine tie agreement)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(score_col), F.asc("doc_id")
+    )
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _lm_scored(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    from engine.csearch import local_query_terms
+    from engine.rerank import lm_scores
+
+    docs = _docs(spark, sf_dir)
+    pl = postings_long(docs)
+    ds = doc_stats(docs)
+    total_tokens = ds.agg(F.sum("dl")).collect()[0][0]
+    qt, terms = local_query_terms(spark, queries_df(spark))
+    return lm_scores(qt, pl, ds, int(total_tokens), kind=kind, terms=terms)
+
+
+def q_lm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM Dirichlet (mu=2000) top-10 (KotlinRankLibTrainer.kt:101-114)."""
+    scored = _lm_scored(spark, sf_dir, "dirichlet").withColumn(
+        "score", F.round("score", 4)
+    )
+    return _rounded_rank(scored, "score", 10).select(
+        "query_id", "doc_id", "score", "rank"
+    )
+
+
+def q_lm_jelinek_mercer_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM Jelinek-Mercer (lambda=0.5) top-10."""
+    scored = _lm_scored(spark, sf_dir, "jelinek_mercer").withColumn(
+        "score", F.round("score", 4)
+    )
+    return _rounded_rank(scored, "score", 10).select(
+        "query_id", "doc_id", "score", "rank"
+    )
+
+
+def q_zscore_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 ZSCORE per query over BM25 scores (reference's un-normalized
+    std reproduced verbatim)."""
+    from engine.rerank import zscore_norm
+
+    scored = _bm25_scored(spark, sf_dir)
+    return zscore_norm(scored, "score").select(
+        "query_id", "doc_id", F.round("score_z", 6).alias("score_z")
+    )
+
+
+def q_rerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: rerank by 0.9703*z(bm25) + 0.0297*z(lm_jm) — the reference's
+    queryMixtures weight pair (KotlinRankLibTrainer.kt:195-196)."""
+    from engine.rerank import weighted_rerank, zscore_norm
+
+    bm = _bm25_scored(spark, sf_dir).withColumnRenamed("score", "bm25")
+    jm = _lm_scored(spark, sf_dir, "jelinek_mercer").withColumnRenamed(
+        "score", "lm_jm"
+    )
+    feats = bm.join(jm, ["query_id", "doc_id"], "left").na.fill({"lm_jm": 0.0})
+    feats = zscore_norm(feats, "bm25", out_col="bm25_z")
+    feats = zscore_norm(feats, "lm_jm", out_col="lm_jm_z")
+    feats = feats.withColumn(
+        "rr",
+        F.round(F.col("bm25_z") * 0.9703 + F.col("lm_jm_z") * 0.0297, 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rr"), F.asc("doc_id"))
+    return (
+        feats.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "doc_id", F.col("rr").alias("rerank_score"), "rank")
+    )
+
+
+# ------------------------------------------------ graph / distribution ops
+
+def q_edges_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/K4: doc->entity adjacency lists (sorted arrays)."""
+    from engine.graph import adjacency, doc_entity_edges
+
+    return adjacency(doc_entity_edges(_docs(spark, sf_dir)))
+
+
+def q_two_hop_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/A4: exact doc->entity mixture distribution (1 round)."""
+    from engine.graph import doc_entity_edges, two_hop_mixture
+
+    edges = doc_entity_edges(_docs(spark, sf_dir))
+    origins = spark.createDataFrame([(str(i),) for i in range(5)], ["origin"])
+    return two_hop_mixture(edges, origins, n_steps=1).select(
+        "origin", "entity", F.round("prob", 6).alias("prob")
+    )
+
+
+def q_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: top-20 entities of each origin's mixture, renormalized."""
+    from engine.graph import doc_entity_edges, two_hop_mixture
+
+    edges = doc_entity_edges(_docs(spark, sf_dir))
+    origins = spark.createDataFrame([(str(i),) for i in range(5)], ["origin"])
+    dist = two_hop_mixture(edges, origins, n_steps=1).withColumn(
+        "prob", F.round("prob", 6)
+    )
+    w = Window.partitionBy("origin").orderBy(F.desc("prob"), F.asc("entity"))
+    top = dist.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 20)
+    ws = Window.partitionBy("origin")
+    return top.select(
+        "origin", "entity",
+        F.round(F.col("prob") / F.sum("prob").over(ws), 6).alias("prob"),
+    )
+
+
+def _term_dists(spark: SparkSession, sf_dir: str):
+    """per-source token distribution p and global distribution q."""
+    docs = _docs(spark, sf_dir)
+    pl = postings_long(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    per_src = pl.groupBy("source", "term").agg(F.sum("tf").alias("c"))
+    wsrc = Window.partitionBy("source")
+    p = per_src.select(
+        "source", F.col("term").alias("key"),
+        (F.col("c") / F.sum("c").over(wsrc)).alias("prob"),
+    )
+    glob = pl.groupBy("term").agg(F.sum("tf").alias("c"))
+    wall = Window.partitionBy()
+    q = glob.select(
+        F.col("term").alias("key"),
+        (F.col("c") / F.sum("c").over(wall)).alias("prob"),
+    )
+    return p, q
+
+
+def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: KL(per-source token dist || global dist) per source."""
+    from engine.graph import kl_divergence
+
+    p, q = _term_dists(spark, sf_dir)
+    return kl_divergence(p, q, by="source").select(
+        "source", F.round("kl", 6).alias("kl")
+    )
+
+
+def q_total_variation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: TVD(per-source dist, global dist) per source."""
+    from engine.graph import total_variation
+
+    p, q = _term_dists(spark, sf_dir)
+    return total_variation(p, q, by="source").select(
+        "source", F.round("tvd", 6).alias("tvd")
+    )
+
+
+def q_dist_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: per-doc token distribution (first 50 docs)."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 50)
+    pl = postings_long(docs)
+    w = Window.partitionBy("doc_id")
+    return pl.select(
+        "doc_id", "term",
+        F.round(F.col("tf") / F.sum("tf").over(w), 6).alias("p"),
+    )
+
+
+def q_softmax_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10: softmax over per-term idf values."""
+    from engine.graph import softmax
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    from engine.search import idf_expr
+
+    dfs = term_df(postings_long(docs)).withColumn("idf", idf_expr(n_docs))
+    return softmax(dfs, "idf").select(
+        "term", F.round("softmax", 6).alias("softmax")
+    )
+
+
+def q_char_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/W5: top-10% character bigrams by PMI-style score."""
+    from engine.textops import char_bigrams_top
+
+    return char_bigrams_top(_docs(spark, sf_dir))
+
+
+# ------------------------------------------------ small parity string/set ops
+
+def q_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5+P3: underscore->space then digit/'enwiki:' strip, applied to a
+    synthetically-decorated query string."""
+    from engine.parity import token_filter, underscore_to_space
+
+    q = queries_df(spark).withColumn(
+        "raw", F.concat(F.col("query"), F.lit(" 123 enwiki:some_page"))
+    )
+    q = underscore_to_space(q, "raw", "cleaned")
+    q = token_filter(q, "cleaned", "cleaned")
+    return q.select("query_id", "cleaned")
+
+
+def q_dedup_query_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/U1: first-occurrence-wins dedup of a doubled query set."""
+    from engine.parity import dedup_query_ids
+
+    q = queries_df(spark)
+    return dedup_query_ids(q.unionAll(q)).select("query_id", "query")
+
+
+def q_query_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: page name + headings concatenation."""
+    from engine.parity import query_construction
+
+    pages = queries_df(spark).select(
+        F.col("query_id").alias("page_name"), F.col("query").alias("headings")
+    )
+    return query_construction(pages).select("page_name", "query")
+
+
+def q_url_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: entity name = substring after last '/'."""
+    from engine.parity import url_suffix
+
+    d = _docs(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("http://host/wiki/"), F.col("source"), F.lit("/"),
+                        F.col("lang"))
+    )
+    return url_suffix(d, "url").select("doc_id", "url", "entity")
+
+
+def q_qrel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/J5: relevance membership flag on the BM25 top-10."""
+    from engine.parity import qrel_flags, synthetic_qrels
+
+    topk = q_bm25_topk(spark, sf_dir)
+    qr = synthetic_qrels(_docs(spark, sf_dir), queries_df(spark))
+    return qrel_flags(topk, qr).select(
+        "query_id", "doc_id", "rank", "is_relevant"
+    )
+
+
+def q_stored_field_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/J2: docID -> stored fields for the result page."""
+    from engine.parity import stored_field_lookup
+
+    topk = q_bm25_topk(spark, sf_dir)
+    return stored_field_lookup(topk, _docs(spark, sf_dir), ["lang", "source"])
+
+
+def q_jaccard_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 (Jaccard): token-set similarity between query pairs."""
+    from engine.parity import jaccard_tokens
+
+    q = queries_df(spark)
+    a = q.select(F.col("query_id").alias("qa"), F.col("query").alias("sa"))
+    b = q.select(F.col("query_id").alias("qb"), F.col("query").alias("sb"))
+    pairs = a.crossJoin(b).where(F.col("qa") < F.col("qb"))
+    return jaccard_tokens(pairs, "sa", "sb").select("qa", "qb", "jaccard")
+
+
+def q_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 (JaroWinkler): pandas-UDF string distance between query pairs."""
+    from engine.strsim import with_jaro_winkler
+
+    q = queries_df(spark)
+    a = q.select(F.col("query_id").alias("qa"), F.col("query").alias("sa"))
+    b = q.select(F.col("query_id").alias("qb"), F.col("query").alias("sb"))
+    pairs = a.crossJoin(b).where(F.col("qa") < F.col("qb"))
+    return with_jaro_winkler(pairs, "sa", "sb").select("qa", "qb", "jaro_winkler")
+
+
+def q_random_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: seeded random shuffle rerank baseline (rows-only check)."""
+    topk = q_bm25_topk(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.rand(42))
+    return topk.select("query_id", "doc_id").withColumn(
+        "shuffle_rank", F.row_number().over(w)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for the reference query set on sf0.001."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -233,6 +518,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,  # rows-only (approx)
+        "lm_dirichlet_topk": q_lm_dirichlet_topk,
+        "lm_jelinek_mercer_topk": q_lm_jelinek_mercer_topk,
+        "zscore_norm": q_zscore_norm,
+        "rerank_weighted": q_rerank_weighted,
+        "edges_adjacency": q_edges_adjacency,
+        "two_hop_mixture": q_two_hop_mixture,
+        "top_entities": q_top_entities,
+        "kl_divergence": q_kl_divergence,
+        "total_variation": q_total_variation,
+        "dist_normalize": q_dist_normalize,
+        "softmax_idf": q_softmax_idf,
+        "char_bigrams_top": q_char_bigrams_top,
+        "string_normalize": q_string_normalize,
+        "dedup_query_ids": q_dedup_query_ids,
+        "query_construction": q_query_construction,
+        "url_suffix": q_url_suffix,
+        "qrel_flags": q_qrel_flags,
+        "stored_field_lookup": q_stored_field_lookup,
+        "jaccard_strings": q_jaccard_strings,
+        "jaro_winkler": q_jaro_winkler,
+        "random_shuffle": q_random_shuffle,  # rows-only (seeded rand)
     }
 
 
@@ -319,6 +625,240 @@ def oracle_sql() -> dict[str, str]:
             FROM topk
         """,
         **_pipeline_oracles(),
+        **_parity_oracles(),
+    }
+
+
+_LM_CTES = f"""
+{_BM25_CTES},
+ctf AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY term),
+tot AS (SELECT count(*) AS total FROM tok),
+lmd AS (
+    SELECT qt.query_id, tf.doc_id,
+           SUM(qt.qtf * greatest(0.0,
+               ln(1 + tf.tf / (2000.0 * (ctf.ctf::DOUBLE / tot.total)))
+               + ln(2000.0 / (dl.dl + 2000.0)))) AS score
+    FROM qt JOIN ctf USING (term) JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot
+    GROUP BY 1, 2
+),
+lmjm AS (
+    SELECT qt.query_id, tf.doc_id,
+           SUM(qt.qtf * ln(1 + (0.5 * tf.tf::DOUBLE / dl.dl)
+                               / (0.5 * (ctf.ctf::DOUBLE / tot.total)))) AS score
+    FROM qt JOIN ctf USING (term) JOIN tf USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot
+    GROUP BY 1, 2
+)
+"""
+
+
+def _lm_topk_sql(cte: str) -> str:
+    return f"""
+        {_LM_CTES}
+        SELECT query_id, doc_id, score, rank FROM (
+            SELECT query_id, doc_id, ROUND(score, 4) AS score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ROUND(score, 4) DESC, doc_id ASC)
+                       AS rank
+            FROM {cte}
+        ) WHERE rank <= 10
+    """
+
+
+def _parity_oracles() -> dict[str, str]:
+    from engine.textops import char_bigrams_top_sql
+
+    edges_cte = f"""
+tok AS ({_TOK}),
+edges AS (SELECT DISTINCT doc_id::VARCHAR AS src, term AS dst FROM tok)"""
+
+    mixture_cte = f"""
+{edges_cte},
+odeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+mix AS (
+    SELECT e.src AS origin, e.dst AS entity, ROUND(1.0 / o.odeg, 6) AS prob
+    FROM edges e JOIN odeg o USING (src)
+    WHERE e.src IN ('0', '1', '2', '3', '4')
+)"""
+
+    dists_cte = f"""
+tok AS ({_TOK}),
+pl AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+joined AS (SELECT d.source, p.term, p.tf FROM pl p JOIN documents d USING (doc_id)),
+per_src AS (SELECT source, term, sum(tf) AS c FROM joined GROUP BY 1, 2),
+p AS (SELECT source, term AS key,
+             c * 1.0 / sum(c) OVER (PARTITION BY source) AS prob FROM per_src),
+gdist AS (SELECT term, sum(tf) AS c FROM joined GROUP BY 1),
+q AS (SELECT term AS key, c * 1.0 / sum(c) OVER () AS prob FROM gdist)"""
+
+    return {
+        "lm_dirichlet_topk": _lm_topk_sql("lmd"),
+        "lm_jelinek_mercer_topk": _lm_topk_sql("lmjm"),
+        "zscore_norm": f"""
+            {_BM25_CTES},
+            zs AS (SELECT query_id, doc_id, score,
+                          avg(score) OVER (PARTITION BY query_id) AS m
+                   FROM scored),
+            z2 AS (SELECT query_id, doc_id, score, m,
+                          sqrt(sum((score - m) * (score - m))
+                               OVER (PARTITION BY query_id)) AS sd
+                   FROM zs)
+            SELECT query_id, doc_id,
+                   ROUND(CASE WHEN sd > 0 THEN (score - m) / sd
+                              ELSE 0.0 END, 6) AS score_z
+            FROM z2
+        """,
+        "rerank_weighted": f"""
+            {_LM_CTES},
+            feats AS (
+                SELECT s.query_id, s.doc_id, s.score AS bm25,
+                       coalesce(l.score, 0.0) AS lm_jm
+                FROM scored s LEFT JOIN lmjm l
+                  ON s.query_id = l.query_id AND s.doc_id = l.doc_id
+            ),
+            z1 AS (SELECT *, avg(bm25) OVER w AS mb, avg(lm_jm) OVER w AS mj
+                   FROM feats WINDOW w AS (PARTITION BY query_id)),
+            z2 AS (SELECT *,
+                          sqrt(sum((bm25 - mb) * (bm25 - mb)) OVER w) AS sb,
+                          sqrt(sum((lm_jm - mj) * (lm_jm - mj)) OVER w) AS sj
+                   FROM z1 WINDOW w AS (PARTITION BY query_id)),
+            rr AS (SELECT query_id, doc_id,
+                          ROUND((CASE WHEN sb > 0 THEN (bm25 - mb) / sb
+                                      ELSE 0.0 END) * 0.9703
+                                + (CASE WHEN sj > 0 THEN (lm_jm - mj) / sj
+                                        ELSE 0.0 END) * 0.0297, 6)
+                              AS rerank_score
+                   FROM z2)
+            SELECT query_id, doc_id, rerank_score, rank FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY rerank_score DESC, doc_id ASC) AS rank
+                FROM rr
+            ) WHERE rank <= 10
+        """,
+        "edges_adjacency": f"""
+            WITH {edges_cte}
+            SELECT src AS node, list_sort(list(DISTINCT dst)) AS neighbors
+            FROM edges GROUP BY src
+        """,
+        "two_hop_mixture": f"""
+            WITH {mixture_cte}
+            SELECT origin, entity, prob FROM mix
+        """,
+        "top_entities": f"""
+            WITH {mixture_cte},
+            top AS (
+                SELECT origin, entity, prob,
+                       ROW_NUMBER() OVER (PARTITION BY origin
+                                          ORDER BY prob DESC, entity ASC) AS rn
+                FROM mix
+            )
+            SELECT origin, entity,
+                   ROUND(prob / sum(prob) OVER (PARTITION BY origin), 6) AS prob
+            FROM top WHERE rn <= 20
+        """,
+        "kl_divergence": f"""
+            WITH {dists_cte}
+            SELECT p.source,
+                   ROUND(sum(p.prob * ln(p.prob / coalesce(q.prob, 0.001))), 6)
+                       AS kl
+            FROM p LEFT JOIN q USING (key) GROUP BY p.source
+        """,
+        "total_variation": f"""
+            WITH {dists_cte}
+            SELECT p.source,
+                   ROUND(sum(abs(p.prob - coalesce(q.prob, 0.0))) / 2, 6) AS tvd
+            FROM p LEFT JOIN q USING (key) GROUP BY p.source
+        """,
+        "dist_normalize": f"""
+            WITH tok AS ({_TOK})
+            SELECT doc_id, term,
+                   ROUND(count(*)::DOUBLE
+                         / sum(count(*)) OVER (PARTITION BY doc_id), 6) AS p
+            FROM tok WHERE doc_id < 50 GROUP BY doc_id, term
+        """,
+        "softmax_idf": f"""
+            WITH tok AS ({_TOK}),
+            tf2 AS (SELECT term, doc_id FROM tok GROUP BY 1, 2),
+            dfv AS (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            idfs AS (SELECT term,
+                            ln(1 + (n.n_docs - df + 0.5) / (df + 0.5)) AS idf
+                     FROM dfv CROSS JOIN n),
+            e AS (SELECT term, exp(idf - max(idf) OVER ()) AS ex FROM idfs)
+            SELECT term, ROUND(ex / sum(ex) OVER (), 6) AS softmax FROM e
+        """,
+        "char_bigrams_top": char_bigrams_top_sql(),
+        "string_normalize": f"""
+            SELECT query_id,
+                   trim(regexp_replace(
+                       replace(query || ' 123 enwiki:some_page', '_', ' '),
+                       '(\\d+|enwiki:)', '', 'g')) AS cleaned
+            FROM {queries_sql_values()}
+        """,
+        "dedup_query_ids": f"""
+            SELECT DISTINCT query_id, query FROM (
+                SELECT * FROM {queries_sql_values("q1")}
+                UNION ALL
+                SELECT * FROM {queries_sql_values("q2")}
+            )
+        """,
+        "query_construction": f"""
+            SELECT query_id AS page_name,
+                   concat_ws(' ', query_id, query) AS query
+            FROM {queries_sql_values()}
+        """,
+        "url_suffix": """
+            SELECT doc_id,
+                   'http://host/wiki/' || source || '/' || lang AS url,
+                   regexp_extract('http://host/wiki/' || source || '/' || lang,
+                                  '([^/]*)$', 1) AS entity
+            FROM documents
+        """,
+        "qrel_flags": f"""
+            WITH topk AS ({_TOPK_SQL}),
+            qr AS (
+                SELECT q.query_id, d.doc_id
+                FROM {queries_sql_values("q")} CROSS JOIN documents d
+                WHERE md5(q.query_id || '|' || d.doc_id::VARCHAR) LIKE '0%'
+            )
+            SELECT t.query_id, t.doc_id, t.rank,
+                   (qr.doc_id IS NOT NULL) AS is_relevant
+            FROM topk t LEFT JOIN qr
+              ON t.query_id = qr.query_id AND t.doc_id = qr.doc_id
+        """,
+        "stored_field_lookup": f"""
+            WITH topk AS ({_TOPK_SQL})
+            SELECT t.query_id, t.rank, t.doc_id, d.lang, d.source
+            FROM topk t JOIN documents d USING (doc_id)
+        """,
+        "jaccard_strings": f"""
+            WITH q AS (SELECT * FROM {queries_sql_values()}),
+            pairs AS (
+                SELECT a.query_id AS qa, a.query AS sa,
+                       b.query_id AS qb, b.query AS sb
+                FROM q a JOIN q b ON a.query_id < b.query_id
+            ),
+            t AS (
+                SELECT qa, qb,
+                       list_distinct(regexp_split_to_array(lower(sa), '\\s+')) AS ta,
+                       list_distinct(regexp_split_to_array(lower(sb), '\\s+')) AS tb
+                FROM pairs
+            )
+            SELECT qa, qb,
+                   ROUND(CASE WHEN len(list_distinct(ta || tb)) > 0
+                              THEN len(list_intersect(ta, tb)) * 1.0
+                                   / len(list_distinct(ta || tb))
+                              ELSE 0.0 END, 6) AS jaccard
+            FROM t
+        """,
+        "jaro_winkler": f"""
+            WITH q AS (SELECT * FROM {queries_sql_values()})
+            SELECT a.query_id AS qa, b.query_id AS qb,
+                   ROUND(jaro_winkler_similarity(a.query, b.query), 6)
+                       AS jaro_winkler
+            FROM q a JOIN q b ON a.query_id < b.query_id
+        """,
     }
 
 

@@ -1,0 +1,37 @@
+"""TREC run-file sink (SURVEY.md K2).
+
+Reference: LuceneQueryBuilder.java:142-153 writes
+"<queryId> Q0 <paragraphId> <rank> <score> Lucene-BM25" per hit
+(format at :150-151); the Kotlin variant KotlinQueryRetriever.kt:103-113
+writes "<qid> Q<n> <pid> <rank> <score> Query".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+RUN_TAG = "Lucene-BM25"
+
+
+def trec_lines(results: DataFrame, tag: str = RUN_TAG) -> DataFrame:
+    """(line) column in TREC run format from (query_id, doc_id, score,
+    rank) results."""
+    return results.select(
+        F.format_string(
+            "%s Q0 %s %d %.4f " + tag,
+            "query_id", F.col("doc_id").cast("string"), "rank",
+            F.col("score").cast("double"),
+        ).alias("line")
+    )
+
+
+def write_runfile(results: DataFrame, path: str, tag: str = RUN_TAG) -> None:
+    """Write a single TREC run file, globally ordered (query_id asc,
+    rank asc). coalesce(1) is correct here: a run file is a small,
+    human/trec_eval-consumed artifact, not a data table."""
+    (
+        trec_lines(results.orderBy("query_id", "rank"), tag)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )

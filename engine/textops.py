@@ -208,3 +208,92 @@ def fingerprint_sql(table: str = "documents", k: int = SHINGLE_K) -> str:
                     ELSE md5(array_to_string(toks, ' ')) END AS fingerprint
         FROM sh
     """
+
+
+# ------------------------------------------------- char bigrams (T3 / W5)
+
+def char_bigrams_top(docs: DataFrame, top_fraction: float = 0.1,
+                     text_col: str = "text") -> DataFrame:
+    """Corpus-level frequent character bigrams (reference
+    BigramAnalyzer.java:20-77): extract all char 2-grams, score each as
+    p(bigram) / (p(c1)*p(c2)) (pointwise-mutual-information flavored),
+    keep the top 10% by score (score desc, bigram asc tie-break).
+
+    Deviation from reference (documented): BigramAnalyzer.java:54-55
+    mixes charAt(0)/charAt(1) when counting monograms; we count the
+    marginal char distribution over bigram slots correctly.
+    Spark-side: explode + two hash aggs + a percent window, no UDFs."""
+    bg = docs.select(
+        F.explode(
+            F.expr(f"transform(sequence(1, greatest(length({text_col}) - 1, 0)),"
+                   f" i -> substring({text_col}, i, 2))")
+        ).alias("bigram")
+    )
+    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt")).cache()
+    total = counts.agg(F.sum("cnt")).collect()[0][0]
+    chars = (
+        counts.select(F.explode(F.array(F.substring("bigram", 1, 1),
+                                        F.substring("bigram", 2, 1))).alias("ch"),
+                      F.col("cnt"))
+        .groupBy("ch").agg(F.sum("cnt").alias("ch_cnt"))
+    )
+    ch_total = 2 * total
+    c1 = chars.select(F.col("ch").alias("_c1"), F.col("ch_cnt").alias("c1_cnt"))
+    c2 = chars.select(F.col("ch").alias("_c2"), F.col("ch_cnt").alias("c2_cnt"))
+    scored = (
+        counts.withColumn("_c1", F.substring("bigram", 1, 1))
+        .withColumn("_c2", F.substring("bigram", 2, 1))
+        .join(F.broadcast(c1), "_c1").join(F.broadcast(c2), "_c2")
+        .withColumn(
+            "score",
+            F.round((F.col("cnt") / F.lit(float(total)))
+                    / ((F.col("c1_cnt") / F.lit(float(ch_total)))
+                       * (F.col("c2_cnt") / F.lit(float(ch_total)))), 6),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("bigram"))
+    n_keep = max(1, int(counts.count() * top_fraction))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_keep)
+        .select("bigram", "cnt", "score", F.col("rn").alias("rank"))
+    )
+
+
+def char_bigrams_top_sql(table: str = "documents",
+                         top_fraction: float = 0.1) -> str:
+    return f"""
+        WITH bg AS (
+            SELECT substring(text, i, 2) AS bigram
+            FROM {table},
+                 unnest(generate_series(1, greatest(length(text) - 1, 0))) AS g(i)
+        ),
+        counts AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram),
+        total AS (SELECT sum(cnt) AS t, count(*) AS n_distinct FROM counts),
+        chars AS (
+            SELECT ch, sum(cnt) AS ch_cnt FROM (
+                SELECT substring(bigram, 1, 1) AS ch, cnt FROM counts
+                UNION ALL
+                SELECT substring(bigram, 2, 1) AS ch, cnt FROM counts
+            ) GROUP BY ch
+        ),
+        scored AS (
+            SELECT c.bigram, c.cnt,
+                   ROUND((c.cnt::DOUBLE / t.t)
+                         / ((c1.ch_cnt::DOUBLE / (2 * t.t))
+                            * (c2.ch_cnt::DOUBLE / (2 * t.t))), 6) AS score
+            FROM counts c
+            CROSS JOIN total t
+            JOIN chars c1 ON substring(c.bigram, 1, 1) = c1.ch
+            JOIN chars c2 ON substring(c.bigram, 2, 1) = c2.ch
+        )
+        SELECT bigram, cnt, score, rank FROM (
+            SELECT bigram, cnt, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, bigram ASC) AS rank,
+                   (SELECT greatest(1, (n_distinct * {top_fraction})::INT)
+                    FROM total) AS n_keep
+            FROM scored
+        ) WHERE rank <= n_keep
+    """
