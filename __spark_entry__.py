@@ -492,6 +492,72 @@ def q_random_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- streaming / multimodal
+
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed aggregation over the events table (same code
+    path batch/streaming)."""
+    from engine.streaming import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_counts(ev)
+
+
+_STREAM_IDX_CACHE: dict[str, str] = {}
+
+
+def q_streaming_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full streaming path: docs as arriving files -> Structured
+    Streaming foreachBatch partial shards -> salted merge -> BM25 top-10.
+    Must equal the plain SQL oracle (same as bm25_topk)."""
+    import tempfile
+
+    from engine.csearch import search_index
+    from engine.postings import init_stats, merge_partials, read_index
+    from engine.streaming import start_incremental_index
+
+    if sf_dir not in _STREAM_IDX_CACHE:
+        out = tempfile.mkdtemp(prefix="stream_idx_")
+        inp = tempfile.mkdtemp(prefix="stream_in_")
+        docs = _docs(spark, sf_dir)
+        docs.write.mode("overwrite").parquet(inp + "/drop")
+        m = init_stats(spark, docs, out)
+        q = start_incremental_index(spark, inp + "/drop", out,
+                                    avgdl_hint=m["stats"]["avgdl"])
+        q.awaitTermination(300)
+        merge_partials(spark, out, hot_df_threshold=100, n_salts=4)
+        _STREAM_IDX_CACHE[sf_dir] = out
+    idx = read_index(spark, _STREAM_IDX_CACHE[sf_dir])
+    res = search_index(spark, idx, queries_df(spark), k=100, prune=True)
+    scored = res.withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.select("query_id", "doc_id", "score")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+    )
+
+
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata/byte stats over synthetic binary payloads."""
+    from engine.multimodal import media_stats, synth_media
+
+    return media_stats(synth_media(_docs(spark, sf_dir)))
+
+
+def q_media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature-extraction template (rows-only check)."""
+    from engine.multimodal import byte_histogram, synth_media
+
+    return byte_histogram(synth_media(_docs(spark, sf_dir)))
+
+
+def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.multimodal import frame_sample_plan, synth_media
+
+    return frame_sample_plan(synth_media(_docs(spark, sf_dir)))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for the reference query set on sf0.001."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -539,6 +605,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_strings": q_jaccard_strings,
         "jaro_winkler": q_jaro_winkler,
         "random_shuffle": q_random_shuffle,  # rows-only (seeded rand)
+        "windowed_event_counts": q_windowed_event_counts,
+        "streaming_incremental_topk": q_streaming_incremental_topk,
+        "media_stats": q_media_stats,
+        "media_byte_histogram": q_media_byte_histogram,  # rows-only
+        "frame_sample_plan": q_frame_sample_plan,
     }
 
 
@@ -858,6 +929,42 @@ q AS (SELECT term AS key, c * 1.0 / sum(c) OVER () AS prob FROM gdist)"""
                    ROUND(jaro_winkler_similarity(a.query, b.query), 6)
                        AS jaro_winkler
             FROM q a JOIN q b ON a.query_id < b.query_id
+        """,
+        "windowed_event_counts": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type,
+                   count(*) AS n,
+                   ROUND(sum(value), 6) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "streaming_incremental_topk": _TOPK_SQL,
+        "media_stats": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   octet_length(payload)::BIGINT AS n_bytes,
+                   sha256(lower(hex(payload))) AS payload_sha,
+                   (doc_id % 640 + 16)::INT AS width,
+                   (doc_id % 480 + 16)::INT AS height
+            FROM (
+                SELECT doc_id,
+                       (unhex(md5(doc_id::VARCHAR))
+                        || unhex(md5(doc_id::VARCHAR || 'x'))
+                        || unhex(md5(doc_id::VARCHAR || 'y'))
+                        || unhex(md5(doc_id::VARCHAR || 'z'))) AS payload
+                FROM documents
+            )
+        """,
+        "frame_sample_plan": """
+            SELECT doc_id AS media_id, frame_idx,
+                   frame_idx / 1.0 AS sample_ts_s
+            FROM (
+                SELECT doc_id, unnest(generate_series(
+                           0, greatest((doc_id % 300)::BIGINT - 1, 0)))
+                       AS frame_idx
+                FROM documents WHERE doc_id % 3 = 2
+            )
         """,
     }
 

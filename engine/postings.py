@@ -133,6 +133,43 @@ def _save_manifest(out_dir: str, m: dict) -> None:
     os.replace(tmp, _manifest_path(out_dir))
 
 
+def init_stats(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Write doc_stats + collection stats (idempotent; its own
+    checkpoint in the manifest). Returns the manifest."""
+    manifest = load_manifest(out_dir)
+    if manifest["stats"] is not None:
+        return manifest
+    ds_path = os.path.join(out_dir, "doc_stats")
+    st_path = os.path.join(out_dir, "stats")
+    toks = with_tokens(corpus, text_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.size("tokens").cast("long").alias("dl"),
+        F.sha2(F.col(text_col), 256).alias("content_sha"),
+    )
+    toks.write.mode("overwrite").parquet(ds_path)
+    n_docs, avgdl, n_tokens = (
+        spark.read.parquet(ds_path)
+        .agg(F.count(F.lit(1)), F.avg("dl"), F.sum("dl"))
+        .collect()[0]
+    )
+    avgdl = float(avgdl or 0.0)
+    spark.createDataFrame(
+        [(int(n_docs), avgdl)],
+        StructType([StructField("n_docs", LongType()),
+                    StructField("avgdl", DoubleType())]),
+    ).write.mode("overwrite").parquet(st_path)
+    manifest["stats"] = {"n_docs": int(n_docs), "avgdl": avgdl,
+                         "n_tokens": int(n_tokens or 0)}
+    _save_manifest(out_dir, manifest)
+    return manifest
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -144,31 +181,7 @@ def build_index(
     text_col: str = "text",
 ) -> dict:
     """Full checkpointed build; idempotent/resumable. Returns manifest."""
-    manifest = load_manifest(out_dir)
-
-    ds_path = os.path.join(out_dir, "doc_stats")
-    st_path = os.path.join(out_dir, "stats")
-    if manifest["stats"] is None:
-        toks = with_tokens(corpus, text_col).select(
-            F.col(id_col).alias("doc_id"),
-            F.size("tokens").cast("long").alias("dl"),
-            F.sha2(F.col(text_col), 256).alias("content_sha"),
-        )
-        toks.write.mode("overwrite").parquet(ds_path)
-        n_docs, avgdl, n_tokens = (
-            spark.read.parquet(ds_path)
-            .agg(F.count(F.lit(1)), F.avg("dl"), F.sum("dl"))
-            .collect()[0]
-        )
-        avgdl = float(avgdl or 0.0)
-        spark.createDataFrame(
-            [(int(n_docs), avgdl)],
-            StructType([StructField("n_docs", LongType()),
-                        StructField("avgdl", DoubleType())]),
-        ).write.mode("overwrite").parquet(st_path)
-        manifest["stats"] = {"n_docs": int(n_docs), "avgdl": avgdl,
-                             "n_tokens": int(n_tokens or 0)}
-        _save_manifest(out_dir, manifest)
+    manifest = init_stats(spark, corpus, out_dir, id_col, text_col)
     avgdl = manifest["stats"]["avgdl"]
 
     # Shard builds are independent bounded jobs; run a few concurrently
@@ -218,6 +231,20 @@ def build_index(
         with ThreadPoolExecutor(max_workers=min(4, len(todo))) as ex:
             list(ex.map(build_shard, todo))
 
+    return merge_partials(spark, out_dir, hot_df_threshold, n_salts)
+
+
+def merge_partials(
+    spark: SparkSession,
+    out_dir: str,
+    hot_df_threshold: int = 1 << 17,
+    n_salts: int = 8,
+) -> dict:
+    """Merge all partial shards (batch- or stream-written) into the
+    final postings table with explicit hot-term salt splitting. Safe to
+    re-run; also refreshes nothing else (stats are build-time)."""
+    manifest = load_manifest(out_dir)
+    avgdl = manifest["stats"]["avgdl"]
     t0 = time.time()
     partials = spark.read.option(
         "basePath", os.path.join(out_dir, "partials")
@@ -227,7 +254,8 @@ def build_index(
         "msalt",
         F.when(
             F.col("df") > hot_df_threshold,
-            F.pmod(F.col("shard"), F.lit(n_salts)).cast("int"),
+            F.pmod(F.xxhash64(F.col("shard").cast("string")),
+                   F.lit(n_salts)).cast("int"),
         ).otherwise(F.lit(0)),
     )
     merged = with_df.groupBy("term", "msalt").applyInPandas(

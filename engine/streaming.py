@@ -1,0 +1,99 @@
+"""Incremental index maintenance via Structured Streaming.
+
+The reference is wholly batch (SURVEY.md section 2.8); its only
+incremental behavior is the IndexWriter commit every 10,000 docs
+(LuceneIndexBuilder.java:42-45). The Spark-native generalization of
+that commit cadence is a Structured Streaming file source +
+foreachBatch: every micro-batch of newly-arrived corpus files is
+tokenized and encoded into a partial postings shard (the same blocked
+delta+varbyte layout as the batch build), appended under
+partials/shard=stream<batchId>, and recorded in the manifest — so the
+streaming ingest and the batch build share one on-disk format, one
+merge path, and one query engine.
+
+Trigger.AvailableNow processes the backlog exactly once and stops
+(batch-incremental); a real deployment leaves the query running with a
+processing-time trigger. The checkpointLocation gives exactly-once
+per-batch semantics: on restart, a batch that already committed is not
+reprocessed (Spark's streaming commit log), complementing the
+manifest's shard-level idempotence.
+
+Event-time analytics over the `events` table (watermark + windowed
+aggregation) is in windowed_event_counts — the canonical late-data
+pattern, included because a training-data pipeline monitors its ingest.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .analysis import with_tokens
+from .postings import ENC_SCHEMA, _encode_group_fn, _save_manifest, load_manifest
+
+
+def start_incremental_index(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    avgdl_hint: float,
+    schema: str = "doc_id long, text string, lang string, source string, n_chars long",
+    available_now: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Stream corpus parquet files from input_dir into partial posting
+    shards under out_dir. Returns the StreamingQuery.
+
+    avgdl_hint: block-max bounds need an avgdl; streaming uses the
+    last-known collection value (bounds stay safe as long as the hint is
+    <= the true avgdl used at query time — callers should refresh stats
+    on merge, which build_index's merge phase does)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pl = (
+            with_tokens(batch_df, text_col)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.size("tokens").cast("long").alias("dl"),
+                    F.explode("tokens").alias("term"))
+            .groupBy("term", "doc_id", "dl")
+            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        )
+        enc = pl.groupBy("term").applyInPandas(
+            _encode_group_fn(avgdl_hint), ENC_SCHEMA
+        )
+        shard_path = os.path.join(out_dir, "partials", f"shard=stream{batch_id}")
+        enc.write.mode("overwrite").parquet(shard_path)
+        m = load_manifest(out_dir)
+        m["shards"][f"stream{batch_id}"] = {"status": "ok", "streaming": True}
+        _save_manifest(out_dir, m)
+
+    reader = (
+        spark.readStream.schema(schema).parquet(input_dir)
+    )
+    writer = (
+        reader.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_stream_checkpoint"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time windowed counts with late-data watermark — works on a
+    streaming OR batch events DataFrame (same code path, the Spark
+    unified-API property)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n",
+                "total_value")
+    )
