@@ -111,35 +111,97 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     }
 
 
-def run_scaling(sf_dir: str) -> None:
-    """local[8] vs local[32] on the identical input (BASELINE.md)."""
+def _scaling_corpus(n_docs: int) -> str:
+    """Materialize the deterministic synthetic source-code corpus
+    (FIXTURES.md section 1 shape) once; both cluster sizes read the
+    SAME files."""
+    path = f"/tmp/spark_graft_scaling_corpus_{n_docs}"
+    if not os.path.exists(path + "/_SUCCESS"):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from engine.corpusgen import synth_corpus
+
+        spark = _mk_spark(32)
+        spark.sparkContext.setLogLevel("ERROR")
+        synth_corpus(spark, n_docs).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(path)
+        spark.stop()
+    return path
+
+
+def run_scaling_build(corpus_path: str, cpus: int) -> dict:
+    """One index build over the corpus at a given parallelism; the
+    measured unit of the N-vs-4N protocol (BASELINE.md)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from engine.postings import build_index
+
+    from pyspark.sql import functions as F
+
+    from engine.analysis import with_tokens
+
+    spark = _mk_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(corpus_path)
+    n_docs = docs.count()
+    # warm up codegen/readers so the first timed job doesn't pay ~10s of
+    # one-time JIT (identical warmup for both cluster sizes)
+    with_tokens(docs.limit(2000), "content").select(
+        F.sum(F.size("tokens"))
+    ).collect()
+    out = tempfile.mkdtemp(prefix=f"scale_idx_{cpus}_")
+    try:
+        t0 = time.time()
+        build_index(spark, docs, out, n_shards=8,
+                    hot_df_threshold=max(1000, n_docs // 20), n_salts=8,
+                    id_col="doc_id", text_col="content")
+        wall = time.time() - t0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+    return {"cpus": cpus, "n_docs": n_docs, "wall_sec": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 1)}
+
+
+def run_scaling(n_docs: int) -> None:
+    """local[8] vs local[32] on the identical generated input — the
+    sandbox stand-in for N vs 4N executors (BASELINE.md protocol)."""
     import subprocess
 
-    res = {}
-    for cpus in (8, 32):
-        out = subprocess.run(
-            [sys.executable, __file__],
-            env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus),
-                 "SPARK_GRAFT_SF_DIR": sf_dir},
-            capture_output=True, text=True, check=True,
-        )
-        res[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
-    th8 = res[8]["n_docs"] / res[8]["queries"]["index_build"]
-    th32 = res[32]["n_docs"] / res[32]["queries"]["index_build"]
+    corpus = _scaling_corpus(n_docs)
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    res: dict[int, list[dict]] = {8: [], 32: []}
+    for rep in range(reps):
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "--scaling-build", corpus, str(cpus)],
+                capture_output=True, text=True, check=True,
+            )
+            res[cpus].append(json.loads(out.stdout.strip().splitlines()[-1]))
+    # best-of-reps per size: the sandbox VM shows CPU-steal noise; min
+    # wall is the closest estimate of the machine-limited time
+    w8 = min(r["wall_sec"] for r in res[8])
+    w32 = min(r["wall_sec"] for r in res[32])
+    th8, th32 = n_docs / w8, n_docs / w32
     eff = (th32 / th8) / (32 / 8)
     print(json.dumps({
         "metric": "index-build scaling efficiency local[8]->local[32]",
+        "n_docs": n_docs,
         "throughput_8": round(th8, 1),
         "throughput_32": round(th32, 1),
+        "wall_8": w8,
+        "wall_32": w32,
+        "all_walls": {str(k): [r["wall_sec"] for r in v] for k, v in res.items()},
         "efficiency": round(eff, 3),
-        "sf": res[8]["sf"],
     }))
 
 
 if __name__ == "__main__":
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    if "--scaling" in sys.argv:
-        run_scaling(sf)
+    if "--scaling-build" in sys.argv:
+        i = sys.argv.index("--scaling-build")
+        print(json.dumps(run_scaling_build(sys.argv[i + 1], int(sys.argv[i + 2]))))
+    elif "--scaling" in sys.argv:
+        run_scaling(int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000")))
     else:
         print(json.dumps(run_bench(sf, cpus)))

@@ -1,0 +1,84 @@
+"""spark-submit entry: build the inverted index over a source-code
+corpus (BASELINE.md scaling protocol / north_rule spark-submit path).
+
+    spark-submit --master local[8]  --py-files engine.zip \
+        bench/build_index.py --corpus /path/to/corpus --out /path/to/index
+    spark-submit --master local[32] --py-files engine.zip \
+        bench/build_index.py --sf 0.1 --out /path/to/index
+
+Either --corpus (parquet of (doc_id?, repo, path, commit, lang, content))
+or --sf N (driver testdata documents table) selects the input; --gen N
+synthesizes N docs with engine.corpusgen first. Prints one JSON line
+with wall time, docs/sec, and the manifest lineage summary.
+
+Package engine.zip with:  python -m zipfile -c engine.zip engine/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", help="parquet path of the corpus")
+    ap.add_argument("--sf", help="driver testdata scale factor, e.g. 0.1")
+    ap.add_argument("--gen", type=int, help="synthesize N docs instead")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--salts", type=int, default=8)
+    ap.add_argument("--hot-df", type=int, default=1 << 17)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = SparkSession.builder.appName("bm25-index-build").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from engine.postings import build_index, load_manifest
+
+    if args.gen:
+        from engine.corpusgen import synth_corpus
+
+        docs = synth_corpus(spark, args.gen)
+        id_col, text_col = "doc_id", "content"
+    elif args.corpus:
+        docs = spark.read.parquet(args.corpus)
+        id_col = "doc_id" if "doc_id" in docs.columns else None
+        if id_col is None:
+            # derive a deterministic doc key from (repo, path, commit)
+            docs = docs.withColumn(
+                "doc_id", F.xxhash64("repo", "path", "commit")
+            )
+            id_col = "doc_id"
+        text_col = "content" if "content" in docs.columns else "text"
+    else:
+        docs = spark.read.parquet(f"/root/testdata/sf{args.sf}/documents.parquet")
+        id_col, text_col = "doc_id", "text"
+
+    n = docs.count()
+    t0 = time.time()
+    build_index(spark, docs, args.out, n_shards=args.shards,
+                hot_df_threshold=args.hot_df, n_salts=args.salts,
+                id_col=id_col, text_col=text_col)
+    wall = time.time() - t0
+    m = load_manifest(args.out)
+    print(json.dumps({
+        "n_docs": n,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n / wall, 1),
+        "n_postings": sum(s.get("n_postings", 0) for s in m["shards"].values()),
+        "shards_ok": sum(1 for s in m["shards"].values() if s["status"] == "ok"),
+        "merged": m["merged"],
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -61,9 +61,29 @@ def tokenize_udf(texts: pd.Series) -> pd.Series:
     return tokenize_series(texts)
 
 
-def with_tokens(df, text_col: str = "text", out_col: str = "tokens"):
-    """Append a tokens array column using the shared analyzer."""
-    return df.withColumn(out_col, tokenize_udf(F.col(text_col)))
+def tokens_expr(text_col: str):
+    """The SAME token spec as a pure JVM expression (regexp_extract_all
+    + higher-order filter): stays inside whole-stage codegen with no
+    Python round-trip — the hot-path variant for the 100 TB build.
+    Equality with tokenize_udf is asserted in tests (the same-analyzer
+    invariant extends to same-implementation-pair)."""
+    raw = F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)")
+    # null text -> [] (the pandas UDF's fillna('') behavior)
+    return F.coalesce(
+        F.filter(raw, lambda t: ~t.isin(*ENGLISH_STOP_WORDS)),
+        F.array().cast("array<string>"),
+    )
+
+
+def with_tokens(df, text_col: str = "text", out_col: str = "tokens",
+                use_udf: bool = False):
+    """Append a tokens array column using the shared analyzer.
+
+    Default is the JVM expression; use_udf=True routes through the
+    Arrow-batched pandas UDF (identical output, kept for environments
+    where the analyzer must run custom Python)."""
+    col = tokenize_udf(F.col(text_col)) if use_udf else tokens_expr(text_col)
+    return df.withColumn(out_col, col)
 
 
 def stopword_sql_list() -> str:

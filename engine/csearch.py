@@ -233,3 +233,77 @@ def search_index(
         .agg(F.sum("term_score").alias("score"))
     )
     return _topk(scored, k)
+
+
+def pruning_stats(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    k: int = TOP_K,
+) -> dict:
+    """How much decode work block-max pruning avoids: returns
+    {total_blocks, kept_blocks, pruned_fraction} for the given query
+    set — the same phase-1/phase-2 math as search_index(prune=True),
+    collected instead of executed."""
+    n_docs, avgdl = index["n_docs"], index["avgdl"]
+    qt, terms = local_query_terms(spark, queries)
+    if not terms:
+        return {"total_blocks": 0, "kept_blocks": 0, "pruned_fraction": 0.0}
+    q = F.broadcast(qt)
+    rows = (
+        index["postings"].where(F.col("term").isin(terms)).join(q, "term")
+        .withColumn("idf", idf_expr(n_docs))
+        .withColumn("w", F.col("qtf") * F.col("idf"))
+    ).cache()
+
+    wmax = Window.partitionBy("query_id")
+    rare = rows.withColumn("idf_max", F.max("idf").over(wmax)).where(
+        F.col("idf") == F.col("idf_max")
+    )
+    rare = rare.withColumn("rare_term", F.min("term").over(wmax)).where(
+        F.col("term") == F.col("rare_term")
+    )
+    phase1 = rare.select(
+        "query_id", "w", "doc_bytes", "tf_bytes", "dl_bytes",
+        "doc_off", "tf_off", "dl_off"
+    ).mapInPandas(_decode_score_iter(avgdl, None), SCORE_ROWS)
+    wrank = Window.partitionBy("query_id").orderBy(
+        F.col("term_score").desc(), F.col("doc_id").asc()
+    )
+    theta = (
+        phase1.withColumn("rn", F.row_number().over(wrank))
+        .where(F.col("rn") <= k)
+        .groupBy("query_id")
+        .agg(F.min("term_score").alias("theta"), F.count(F.lit(1)).alias("cnt"))
+        .withColumn("theta", F.when(F.col("cnt") >= k, F.col("theta"))
+                    .otherwise(F.lit(float("-inf"))))
+        .select("query_id", "theta")
+    )
+    qterm = rows.groupBy("query_id", "term", "w").agg(
+        F.max(F.array_max("block_max")).alias("tmax")
+    )
+    ub = qterm.groupBy("query_id").agg(
+        F.sum(F.col("w") * F.col("tmax")).alias("ubsum")
+    )
+    meta = (
+        qterm.join(ub, "query_id").join(theta, "query_id", "left")
+        .withColumn("theta", F.coalesce(F.col("theta"), F.lit(float("-inf"))))
+        .select("query_id", "term", "tmax", "ubsum", "theta")
+    )
+    slack = F.col("theta") - (F.col("ubsum") - F.col("w") * F.col("tmax"))
+    agg = (
+        rows.join(F.broadcast(meta), ["query_id", "term"])
+        .select(
+            F.size("block_max").alias("total"),
+            F.size(F.filter("block_max",
+                            lambda x: F.col("w") * x >= slack)).alias("kept"),
+        )
+        .agg(F.sum("total"), F.sum("kept"))
+        .collect()[0]
+    )
+    total, kept = int(agg[0] or 0), int(agg[1] or 0)
+    return {
+        "total_blocks": total,
+        "kept_blocks": kept,
+        "pruned_fraction": round(1 - kept / total, 4) if total else 0.0,
+    }

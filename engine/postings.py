@@ -228,7 +228,8 @@ def build_index(
             _save_manifest(out_dir, manifest)
 
     if todo:
-        with ThreadPoolExecutor(max_workers=min(4, len(todo))) as ex:
+        workers = int(os.environ.get("SPARK_GRAFT_BUILD_THREADS", "4"))
+        with ThreadPoolExecutor(max_workers=max(1, min(workers, len(todo)))) as ex:
             list(ex.map(build_shard, todo))
 
     return merge_partials(spark, out_dir, hot_df_threshold, n_salts)

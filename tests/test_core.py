@@ -128,3 +128,32 @@ def test_content_sha_invariant(spark, documents):
     assert len(joined) == documents.count()
     for r in joined[:50]:
         assert r.content_sha == hashlib.sha256(r.text.encode()).hexdigest()
+
+
+def test_jvm_expr_equals_udf_tokenizer(spark, documents):
+    """The JVM tokens_expr and the pandas tokenize_udf must emit
+    identical token arrays on real corpus text (same-analyzer invariant
+    across implementations)."""
+    from engine.analysis import with_tokens
+
+    jvm = with_tokens(documents, use_udf=False).select("doc_id", "tokens")
+    udf = with_tokens(documents, use_udf=True).select(
+        "doc_id", F.col("tokens").alias("tokens_udf")
+    )
+    diff = jvm.join(udf, "doc_id").where(
+        F.col("tokens") != F.col("tokens_udf")
+    ).count()
+    assert diff == 0
+
+
+def test_jvm_expr_equals_udf_on_edge_cases(spark):
+    from engine.analysis import with_tokens
+
+    df = spark.createDataFrame(
+        [(1, "The quick BROWN fox, the fox!"), (2, "a the an and"), (3, ""),
+         (4, None), (5, "x1 y2 z3 def import"), (6, "Camel_Case dash-ed 123")],
+        ["doc_id", "text"],
+    )
+    a = {r.doc_id: r.tokens for r in with_tokens(df, use_udf=False).collect()}
+    b = {r.doc_id: r.tokens for r in with_tokens(df, use_udf=True).collect()}
+    assert a == b

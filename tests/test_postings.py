@@ -176,3 +176,31 @@ def test_resumability(spark, documents, tmp_path):
     want = sorted((q, d, rk) for q, d, s, rk in golden)
     assert got == want
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_block_max_pruning_skips_blocks(spark, tmp_path):
+    """On a corpus where one term has few high-tf docs and thousands of
+    tf=1 docs, phase-1 theta must prune most blocks of that term's list
+    while results stay rank-identical to the unpruned plan."""
+    from engine.csearch import pruning_stats
+
+    rows = []
+    for i in range(15):  # high-tf docs: "spark" x10
+        rows.append((i, "spark " * 10 + "filler"))
+    for i in range(15, 4000):  # long tail: single "spark" + noise
+        rows.append((i, f"spark pad{i % 7} filler other tokens here"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = str(tmp_path / "pidx")
+    build_index(spark, docs, out, n_shards=2, hot_df_threshold=10000, n_salts=2)
+    idx = read_index(spark, out)
+    q = spark.createDataFrame([("q", "spark")], ["query_id", "query"])
+
+    stats = pruning_stats(spark, idx, q, k=10)
+    assert stats["total_blocks"] > 20
+    assert stats["pruned_fraction"] > 0.5, stats
+
+    pruned = search_index(spark, idx, q, k=10, prune=True).collect()
+    full = search_index(spark, idx, q, k=10, prune=False).collect()
+    assert sorted((r.query_id, r.doc_id, r.rank) for r in pruned) == \
+        sorted((r.query_id, r.doc_id, r.rank) for r in full)
+    assert {r.doc_id for r in pruned} <= set(range(15))
