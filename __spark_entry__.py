@@ -492,6 +492,59 @@ def q_random_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ranklib_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: RankLib training-file sink lines over BM25 top-10 + qrels."""
+    from engine.parity import qrel_flags, synthetic_qrels
+    from engine.runfile import ranklib_lines
+
+    topk = q_bm25_topk(spark, sf_dir)
+    qr = synthetic_qrels(_docs(spark, sf_dir), queries_df(spark))
+    flagged = qrel_flags(topk, qr).withColumn(
+        "rel", F.col("is_relevant").cast("int")
+    )
+    return ranklib_lines(flagged, ["score"], rel_col="rel")
+
+
+def q_relevancy_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: per-query min(rel score) - min(irrel score) gap."""
+    from engine.parity import relevancy_ratio, synthetic_qrels
+
+    topk = q_bm25_topk(spark, sf_dir)
+    qr = synthetic_qrels(_docs(spark, sf_dir), queries_df(spark))
+    return relevancy_ratio(topk, qr).select(
+        "query_id", F.round("rel_gap", 4).alias("rel_gap")
+    )
+
+
+def q_mixture_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: entity score-mixture sink over q0001's BM25 candidates."""
+    from engine.graph import doc_entity_edges, two_hop_mixture
+    from engine.parity import mixture_feature
+
+    docs = _docs(spark, sf_dir)
+    topk = q_bm25_topk(spark, sf_dir).where(F.col("query_id") == "q0001")
+    edges = doc_entity_edges(docs)
+    origins = topk.select(F.col("doc_id").cast("string").alias("origin"))
+    dist = two_hop_mixture(edges, origins, n_steps=1)
+    return mixture_feature(dist, topk.select("doc_id", "score")).select(
+        "entity", F.round("prob", 6).alias("prob")
+    )
+
+
+def q_alpha_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: score = mix*(1-a) + a*bm25 (a=0.5) over bm25 + jm scores."""
+    from engine.rerank import alpha_blend
+
+    bm = _bm25_scored(spark, sf_dir).withColumnRenamed("score", "bm25")
+    jm = _lm_scored(spark, sf_dir, "jelinek_mercer").withColumnRenamed(
+        "score", "lm_jm"
+    )
+    feats = bm.join(jm, ["query_id", "doc_id"])
+    return alpha_blend(feats, "lm_jm", "bm25", alpha=0.5).select(
+        "query_id", "doc_id", F.round("blend_score", 4).alias("blend_score")
+    )
+
+
 # ----------------------------------------------- streaming / multimodal
 
 def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -605,6 +658,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_strings": q_jaccard_strings,
         "jaro_winkler": q_jaro_winkler,
         "random_shuffle": q_random_shuffle,  # rows-only (seeded rand)
+        "ranklib_lines": q_ranklib_lines,
+        "relevancy_ratio": q_relevancy_ratio,
+        "mixture_feature": q_mixture_feature,
+        "alpha_blend": q_alpha_blend,
         "windowed_event_counts": q_windowed_event_counts,
         "streaming_incremental_topk": q_streaming_incremental_topk,
         "media_stats": q_media_stats,
@@ -929,6 +986,59 @@ q AS (SELECT term AS key, c * 1.0 / sum(c) OVER () AS prob FROM gdist)"""
                    ROUND(jaro_winkler_similarity(a.query, b.query), 6)
                        AS jaro_winkler
             FROM q a JOIN q b ON a.query_id < b.query_id
+        """,
+        "ranklib_lines": f"""
+            WITH topk AS ({_TOPK_SQL}),
+            qr AS (
+                SELECT q.query_id, d.doc_id
+                FROM {queries_sql_values("q")} CROSS JOIN documents d
+                WHERE md5(q.query_id || '|' || d.doc_id::VARCHAR) LIKE '0%'
+            )
+            SELECT printf('%d qid:%s 1:%.6f # %d',
+                          CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END,
+                          t.query_id, t.score, t.doc_id) AS line
+            FROM topk t LEFT JOIN qr
+              ON t.query_id = qr.query_id AND t.doc_id = qr.doc_id
+        """,
+        "relevancy_ratio": f"""
+            WITH topk AS ({_TOPK_SQL}),
+            qr AS (
+                SELECT q.query_id, d.doc_id
+                FROM {queries_sql_values("q")} CROSS JOIN documents d
+                WHERE md5(q.query_id || '|' || d.doc_id::VARCHAR) LIKE '0%'
+            )
+            SELECT t.query_id,
+                   ROUND(min(CASE WHEN qr.doc_id IS NOT NULL THEN t.score END)
+                         - min(CASE WHEN qr.doc_id IS NULL THEN t.score END), 4)
+                       AS rel_gap
+            FROM topk t LEFT JOIN qr
+              ON t.query_id = qr.query_id AND t.doc_id = qr.doc_id
+            GROUP BY t.query_id
+        """,
+        "mixture_feature": f"""
+            WITH topk AS ({_TOPK_SQL}),
+            tq AS (SELECT doc_id, score FROM topk WHERE query_id = 'q0001'),
+            tok AS ({_TOK}),
+            edges AS (SELECT DISTINCT doc_id::VARCHAR AS src, term AS dst FROM tok),
+            odeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+            mix AS (
+                SELECT e.src AS origin, e.dst AS entity, 1.0 / o.odeg AS prob
+                FROM edges e JOIN odeg o USING (src)
+                WHERE e.src IN (SELECT doc_id::VARCHAR FROM tq)
+            ),
+            sinks AS (
+                SELECT m.entity, sum(m.prob * tq.score) AS mass
+                FROM mix m JOIN tq ON m.origin = tq.doc_id::VARCHAR
+                GROUP BY m.entity
+            )
+            SELECT entity, ROUND(mass / sum(mass) OVER (), 6) AS prob FROM sinks
+        """,
+        "alpha_blend": f"""
+            {_LM_CTES}
+            SELECT s.query_id, s.doc_id,
+                   ROUND(l.score * 0.5 + s.score * 0.5, 4) AS blend_score
+            FROM scored s JOIN lmjm l
+              ON s.query_id = l.query_id AND s.doc_id = l.doc_id
         """,
         "windowed_event_counts": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -39,6 +39,7 @@ def _mk_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "500000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         .getOrCreate()
@@ -162,14 +163,77 @@ def run_scaling_build(corpus_path: str, cpus: int) -> dict:
             "docs_per_sec": round(n_docs / wall, 1)}
 
 
+def _hw_ceiling() -> dict:
+    """The VM's OWN parallel-scaling ceiling, measured with pure
+    C-level CPU work (hashlib chains, zero shared state). A single VM
+    shares one memory bus and suffers hypervisor steal, so even a
+    perfectly parallel program cannot reach efficiency 1.0 from 8 to 32
+    procs here — this measures the achievable maximum that the Spark
+    numbers should be read against."""
+    import multiprocessing as mp
+    import hashlib
+
+    def burn(n):
+        h = b"x"
+        for _ in range(n):
+            h = hashlib.sha256(h).digest()
+        return h[0]
+
+    n = 2_000_000
+    t0 = time.time(); burn(n); single = time.time() - t0
+    out = {}
+    for workers in (8, 32):
+        t0 = time.time()
+        with mp.Pool(workers) as p:
+            p.map(_BURN, [n] * workers)
+        out[workers] = single / (time.time() - t0)  # per-proc efficiency
+    return {"eff_8": round(out[8], 3), "eff_32": round(out[32], 3),
+            "max_speedup_8_to_32": round(4 * out[32] / out[8], 2)}
+
+
+def _BURN(n):  # top-level for pickling
+    import hashlib
+
+    h = b"x"
+    for _ in range(n):
+        h = hashlib.sha256(h).digest()
+    return h[0]
+
+
+def run_tokenize_phase(corpus_path: str, cpus: int) -> float:
+    """CPU-bound phase in isolation: JVM tokenize+explode over the full
+    corpus (the per-core work of the build, no shuffle/Python)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from engine.analysis import with_tokens
+
+    spark = _mk_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(corpus_path)
+    with_tokens(docs.limit(2000), "content").select(
+        F.sum(F.size("tokens"))).collect()
+    raw = with_tokens(docs, "content").select(
+        F.col("doc_id"), F.explode("tokens").alias("term"))
+    t0 = time.time()
+    raw.count()
+    wall = time.time() - t0
+    spark.stop()
+    return round(wall, 3)
+
+
 def run_scaling(n_docs: int) -> None:
     """local[8] vs local[32] on the identical generated input — the
-    sandbox stand-in for N vs 4N executors (BASELINE.md protocol)."""
+    sandbox stand-in for N vs 4N executors (BASELINE.md protocol).
+    Reports end-to-end build walls, the CPU-bound tokenize phase in
+    isolation, and the VM's own hardware scaling ceiling so the numbers
+    are interpretable on shared single-box infrastructure."""
     import subprocess
 
     corpus = _scaling_corpus(n_docs)
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     res: dict[int, list[dict]] = {8: [], 32: []}
+    tok: dict[int, list[float]] = {8: [], 32: []}
     for rep in range(reps):
         for cpus in (8, 32):
             out = subprocess.run(
@@ -177,21 +241,33 @@ def run_scaling(n_docs: int) -> None:
                 capture_output=True, text=True, check=True,
             )
             res[cpus].append(json.loads(out.stdout.strip().splitlines()[-1]))
-    # best-of-reps per size: the sandbox VM shows CPU-steal noise; min
-    # wall is the closest estimate of the machine-limited time
+            out = subprocess.run(
+                [sys.executable, __file__, "--tokenize-phase", corpus, str(cpus)],
+                capture_output=True, text=True, check=True,
+            )
+            tok[cpus].append(float(out.stdout.strip().splitlines()[-1]))
+    # best-of-reps: the sandbox VM shows 2-3x CPU-steal noise; min wall
+    # is the closest estimate of the machine-limited time
     w8 = min(r["wall_sec"] for r in res[8])
     w32 = min(r["wall_sec"] for r in res[32])
-    th8, th32 = n_docs / w8, n_docs / w32
-    eff = (th32 / th8) / (32 / 8)
+    t8, t32 = min(tok[8]), min(tok[32])
+    hw = _hw_ceiling()
+    eff_e2e = (w8 / w32) / 4
+    eff_tok = (t8 / t32) / 4
     print(json.dumps({
-        "metric": "index-build scaling efficiency local[8]->local[32]",
+        "metric": "index-build scaling local[8]->local[32] (sandbox stand-in for N->4N executors)",
         "n_docs": n_docs,
-        "throughput_8": round(th8, 1),
-        "throughput_32": round(th32, 1),
-        "wall_8": w8,
-        "wall_32": w32,
-        "all_walls": {str(k): [r["wall_sec"] for r in v] for k, v in res.items()},
-        "efficiency": round(eff, 3),
+        "build_wall_8": w8, "build_wall_32": w32,
+        "build_docs_per_sec_32": round(n_docs / w32, 1),
+        "build_efficiency": round(eff_e2e, 3),
+        "tokenize_wall_8": t8, "tokenize_wall_32": t32,
+        "tokenize_efficiency": round(eff_tok, 3),
+        "hw_ceiling": hw,
+        "tokenize_efficiency_vs_hw_ceiling": round(
+            eff_tok / (hw["max_speedup_8_to_32"] / 4), 3),
+        "all_build_walls": {str(k): [r["wall_sec"] for r in v]
+                            for k, v in res.items()},
+        "all_tokenize_walls": {str(k): v for k, v in tok.items()},
     }))
 
 
@@ -201,6 +277,9 @@ if __name__ == "__main__":
     if "--scaling-build" in sys.argv:
         i = sys.argv.index("--scaling-build")
         print(json.dumps(run_scaling_build(sys.argv[i + 1], int(sys.argv[i + 2]))))
+    elif "--tokenize-phase" in sys.argv:
+        i = sys.argv.index("--tokenize-phase")
+        print(run_tokenize_phase(sys.argv[i + 1], int(sys.argv[i + 2])))
     elif "--scaling" in sys.argv:
         run_scaling(int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000")))
     else:

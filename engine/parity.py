@@ -100,3 +100,50 @@ def jaccard_tokens(df: DataFrame, a_col: str, b_col: str,
         out_col,
         F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6),
     )
+
+
+def read_qrels(spark, path: str):
+    """S4: space-delimited qrel file scan -> (query_id, doc_id, rel)
+    (reference KotlinRanklibFormatter.kt:74-81 splits on space, takes
+    columns 0 and 2)."""
+    raw = spark.read.csv(path, sep=" ")
+    return raw.select(
+        F.col("_c0").alias("query_id"),
+        F.col("_c2").alias("doc_id"),
+        F.coalesce(F.col("_c3").cast("int"), F.lit(1)).alias("rel"),
+    )
+
+
+def relevancy_ratio(results, qrels):
+    """A8 (KotlinTrainer.kt:31-57): per query,
+    min(score of relevant docs) - min(score of irrelevant docs); the
+    global average of that gap is the trainer's objective."""
+    flagged = qrel_flags(results, qrels)
+    per_q = flagged.groupBy("query_id").agg(
+        F.min(F.when(F.col("is_relevant"), F.col("score"))).alias("min_rel"),
+        F.min(F.when(~F.col("is_relevant"), F.col("score"))).alias("min_irrel"),
+    )
+    return per_q.select(
+        "query_id",
+        (F.col("min_rel") - F.col("min_irrel")).alias("rel_gap"),
+    )
+
+
+def mixture_feature(dist, scores):
+    """A5 (KotlinRankLibTrainer.kt:139-159): sinks[e] += prob * score
+    over all candidates, normalized by the total — the per-entity score
+    mixture. dist: (origin, entity, prob) where origin is a doc id;
+    scores: (doc_id, score)."""
+    j = dist.join(
+        scores.select(F.col("doc_id").cast("string").alias("origin"), "score"),
+        "origin",
+    )
+    sinks = j.groupBy("entity").agg(
+        F.sum(F.col("prob") * F.col("score")).alias("mass")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    return sinks.select(
+        "entity", (F.col("mass") / F.sum("mass").over(w)).alias("prob")
+    )

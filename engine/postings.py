@@ -4,37 +4,50 @@ Reference analog: Lucene IndexWriter builds per-segment posting lists
 and commits every 10,000 docs (LuceneIndexBuilder.java:39-49); segments
 are later merged. Here (north_rule):
 
-  build phase (per shard s of the corpus, shard = xxhash64(doc)%S):
-      tokenize -> tf -> groupBy(term) applyInPandas encode
-      -> parquet partials/shard=s  (one blocked delta+varbyte partial
-         posting list per term per shard, dl stored inline like Lucene
-         norms, block-max metadata per 128-posting block)
-      -> manifest entry with per-shard lineage (term/posting counts,
-         wall ms, status) — the shard IS the resumable checkpoint: a
-         re-run skips shards already marked ok in the manifest.
+  stats pass (init_stats):
+      one scan computes doc_stats (exact dl + sha256(content) — the
+      per-row invariant), collection stats (N, avgdl), and the term
+      dictionary tid = xxhash64(term) -> term (collision-checked).
+
+  build phase (batched; shard = xxhash64(doc) % S):
+      one scan+tokenize per BATCH of shards (per-shard jobs would each
+      re-scan the whole input); raw (shard, tid, doc_id, dl) token
+      occurrences — integers only — are hash-repartitioned by
+      (shard, tid) and encoded by a mapInPandas kernel that lexsorts
+      the partition in numpy, splits (shard, tid) runs, counts tf with
+      np.unique, and emits blocked delta+varbyte lists (dl inline like
+      Lucene norms, per-128-posting block-max metadata). Output lands
+      under partials/shard=s via dynamic partition overwrite; the
+      manifest records per-shard lineage (term/posting counts, wall,
+      status) and a re-run skips shards already marked ok — the
+      shard/batch is the resumable checkpoint (reference analog: the
+      10,000-doc IndexWriter commit, LuceneIndexBuilder.java:42-45).
 
   merge phase (explicit skew handling, north_rule):
-      df(term) = sum of partial counts (broadcast); terms with
+      df(tid) = sum of partial counts (broadcast); terms with
       df > hot_threshold keep up to n_salts rows in the final table
-      (salt = shard % n_salts — shard doc spaces are disjoint, so
+      (salt = hash(shard) % n_salts — shard doc spaces are disjoint, so
       per-salt lists are independent and the giant hot-term group is
       never materialized in a single task); cold terms merge to one
-      row. Each (term, salt) group decodes its few partials, re-sorts,
-      re-encodes — numpy inside applyInPandas, Arrow-batched.
+      row. Each (tid, salt) group decodes its few partials, re-sorts,
+      re-encodes in numpy; the term dictionary restores strings.
 
 Final layout (parquet, sorted by term within files so row-group
 min/max stats serve the query path's term IN (...) pushdown):
-  postings/   term, salt, df, n_docs, doc_bytes, tf_bytes, dl_bytes,
-              block_last, block_max, doc_off, tf_off, dl_off
+  postings/   term, tid, salt, df, n_docs, doc_bytes, tf_bytes,
+              dl_bytes, block_last, block_max, doc_off, tf_off, dl_off
   doc_stats/  doc_id, dl, content_sha
   stats/      n_docs, avgdl
+  term_dict/  tid, term
   _manifest.json  per-shard lineage + collection stats + merge status
 
-Scale notes: at 10^12 files n_shards grows to O(10^4-10^5); each shard
-build is an independent bounded job (the failure-recovery unit), and
-the merge shuffles only already-compressed partials — a small fraction
-of raw token volume. Query-time dl comes from the posting list itself,
-so serving needs no doc_stats join at all.
+Scale notes: at 10^12 files n_shards grows to O(10^4-10^5) and
+shard_batch bounds the work a single failure can lose; the merge
+shuffles only already-compressed partials — a small fraction of raw
+token volume. Query-time dl comes from the posting list itself, so
+serving needs no doc_stats join at all. The encode shuffle carries
+fixed-width integers exclusively; sizing spark.sql.shuffle.partitions
+bounds per-task buffer memory (~28 B/occurrence).
 """
 
 from __future__ import annotations
@@ -54,10 +67,9 @@ from pyspark.sql.types import (
 from .analysis import with_tokens
 from .codec import decode_blocked, encode_blocked
 
-ENC_SCHEMA = StructType(
+STREAM_ENC_SCHEMA = StructType(
     [
-        StructField("term", StringType(), False),
-        StructField("salt", IntegerType(), False),
+        StructField("tid", LongType(), False),
         StructField("n_docs", LongType(), False),
         StructField("doc_bytes", BinaryType(), False),
         StructField("tf_bytes", BinaryType(), False),
@@ -71,12 +83,147 @@ ENC_SCHEMA = StructType(
 )
 
 
-def _row_from_enc(term: str, salt: int, n: int, enc: dict) -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "term": [term],
-            "salt": [salt],
-            "n_docs": [n],
+def _enc_dict(tid: int, n: int, enc: dict) -> dict:
+    return {
+        "tid": [int(tid)],
+        "n_docs": [n],
+        "doc_bytes": [enc["doc_bytes"]],
+        "tf_bytes": [enc["tf_bytes"]],
+        "dl_bytes": [enc["dl_bytes"]],
+        "block_last": [enc["block_last"]],
+        "block_max": [enc["block_max"]],
+        "doc_off": [enc["doc_off"]],
+        "tf_off": [enc["tf_off"]],
+        "dl_off": [enc["dl_off"]],
+    }
+
+
+def _encode_tid_group_fn(avgdl: float):
+    """Grouped-map kernel for SMALL inputs (streaming micro-batches):
+    one (tid,) group of raw (doc_id, dl) occurrence rows -> one encoded
+    partial row. The big batch build uses _encode_sorted_stream_fn
+    instead (grouped-map per-group overhead is prohibitive there)."""
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf["doc_id"].to_numpy(np.int64)
+        dl = pdf["dl"].to_numpy(np.int64)
+        uniq, first, counts = np.unique(d, return_index=True, return_counts=True)
+        enc = encode_blocked(uniq, counts, dl[first], avgdl)
+        return pd.DataFrame(_enc_dict(key[0], uniq.size, enc))
+
+    return encode
+
+
+TID_ENC_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType(), False),
+        StructField("tid", LongType(), False),
+        StructField("n_docs", LongType(), False),
+        StructField("doc_bytes", BinaryType(), False),
+        StructField("tf_bytes", BinaryType(), False),
+        StructField("dl_bytes", BinaryType(), False),
+        StructField("block_last", ArrayType(LongType()), False),
+        StructField("block_max", ArrayType(DoubleType()), False),
+        StructField("doc_off", ArrayType(IntegerType()), False),
+        StructField("tf_off", ArrayType(IntegerType()), False),
+        StructField("dl_off", ArrayType(IntegerType()), False),
+    ]
+)
+
+
+def _encode_partition_fn(avgdl: float, yield_rows: int = 256):
+    """mapInPandas kernel over a partition hash-distributed by
+    (shard, tid) — NOT sorted. The kernel buffers the partition's
+    integer columns, lexsorts them in numpy, splits (shard, tid) runs
+    by boundary detection, and encodes each run.
+
+    Three measured design choices (1M docs / 199M token rows):
+    * NOT grouped-map applyInPandas: its fixed per-group Arrow+pandas
+      overhead across n_shards*n_terms groups dominated the build
+      (315s vs 25s for the identical shuffle, local[8]);
+    * NOT sortWithinPartitions: the Tungsten sort of the full token
+      stream triggered GCLocker allocation stalls alongside Arrow's
+      native critical sections; a numpy int64 lexsort of the ~size/p
+      partition slice is cheap and off-heap;
+    * terms travel as tid = xxhash64(term): shuffle, sort, and Arrow
+      batches are fixed-width integers — no strings anywhere.
+
+    tf is counted per run with np.unique (no prior (term, doc)
+    aggregation shuffle). Memory per task ~= 28 bytes x rows/partition —
+    size spark.sql.shuffle.partitions so this fits comfortably."""
+
+    def fn(batches):
+        shards, tids, ds, dls = [], [], [], []
+        for pdf in batches:
+            if len(pdf):
+                shards.append(pdf["shard"].to_numpy(np.int32))
+                tids.append(pdf["tid"].to_numpy(np.int64))
+                ds.append(pdf["doc_id"].to_numpy(np.int64))
+                dls.append(pdf["dl"].to_numpy(np.int64))
+        if not shards:
+            return
+        shard = np.concatenate(shards)
+        tid = np.concatenate(tids)
+        d = np.concatenate(ds)
+        dl = np.concatenate(dls)
+        del shards, tids, ds, dls
+        order = np.lexsort((d, tid, shard))
+        shard, tid, d, dl = shard[order], tid[order], d[order], dl[order]
+        change = np.flatnonzero(
+            (shard[1:] != shard[:-1]) | (tid[1:] != tid[:-1])
+        ) + 1
+        bounds = np.concatenate(([0], change, [shard.size]))
+        out: dict[str, list] = {k: [] for k in (
+            "shard", "tid", "n_docs", "doc_bytes", "tf_bytes", "dl_bytes",
+            "block_last", "block_max", "doc_off", "tf_off", "dl_off")}
+
+        def flush():
+            df = pd.DataFrame(out)
+            for k in out:
+                out[k] = []
+            return df
+
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            uniq, first, counts = np.unique(d[lo:hi], return_index=True,
+                                            return_counts=True)
+            enc = encode_blocked(uniq, counts, dl[lo:hi][first], avgdl)
+            out["shard"].append(int(shard[lo]))
+            out["tid"].append(int(tid[lo]))
+            out["n_docs"].append(uniq.size)
+            out["doc_bytes"].append(enc["doc_bytes"])
+            out["tf_bytes"].append(enc["tf_bytes"])
+            out["dl_bytes"].append(enc["dl_bytes"])
+            out["block_last"].append(enc["block_last"])
+            out["block_max"].append(enc["block_max"])
+            out["doc_off"].append(enc["doc_off"])
+            out["tf_off"].append(enc["tf_off"])
+            out["dl_off"].append(enc["dl_off"])
+            if len(out["tid"]) >= yield_rows:
+                yield flush()
+        if out["tid"]:
+            yield flush()
+
+    return fn
+
+
+def _merge_group_fn(avgdl: float):
+    """Merge kernel for one (tid, salt) group of partial lists. Group
+    counts here are tiny (n_terms x n_salts rows of pre-encoded bytes),
+    so grouped-map applyInPandas overhead is irrelevant."""
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ds, ts, ls = [], [], []
+        for r in pdf.itertuples(index=False):
+            d, t, dl = decode_blocked(r.doc_bytes, r.tf_bytes, r.dl_bytes,
+                                      r.doc_off, r.tf_off, r.dl_off)
+            ds.append(d); ts.append(t); ls.append(dl)
+        d = np.concatenate(ds)
+        enc = encode_blocked(d, np.concatenate(ts), np.concatenate(ls), avgdl)
+        row = encode_rowdict = {
+            "tid": [int(key[0])],
+            "salt": [int(key[1])],
+            "n_docs": [d.size],
             "doc_bytes": [enc["doc_bytes"]],
             "tf_bytes": [enc["tf_bytes"]],
             "dl_bytes": [enc["dl_bytes"]],
@@ -86,31 +233,26 @@ def _row_from_enc(term: str, salt: int, n: int, enc: dict) -> pd.DataFrame:
             "tf_off": [enc["tf_off"]],
             "dl_off": [enc["dl_off"]],
         }
-    )
-
-
-def _encode_group_fn(avgdl: float):
-    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        d = pdf["doc_id"].to_numpy(np.int64)
-        enc = encode_blocked(d, pdf["tf"].to_numpy(np.int64),
-                             pdf["dl"].to_numpy(np.int64), avgdl)
-        return _row_from_enc(key[0], 0, d.size, enc)
-
-    return encode
-
-
-def _merge_group_fn(avgdl: float):
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ds, ts, ls = [], [], []
-        for r in pdf.itertuples(index=False):
-            d, t, dl = decode_blocked(r.doc_bytes, r.tf_bytes, r.dl_bytes,
-                                      r.doc_off, r.tf_off, r.dl_off)
-            ds.append(d); ts.append(t); ls.append(dl)
-        d = np.concatenate(ds)
-        enc = encode_blocked(d, np.concatenate(ts), np.concatenate(ls), avgdl)
-        return _row_from_enc(key[0], int(key[1]), d.size, enc)
+        return pd.DataFrame(row)
 
     return merge
+
+
+TID_MERGED_SCHEMA = StructType(
+    [
+        StructField("tid", LongType(), False),
+        StructField("salt", IntegerType(), False),
+        StructField("n_docs", LongType(), False),
+        StructField("doc_bytes", BinaryType(), False),
+        StructField("tf_bytes", BinaryType(), False),
+        StructField("dl_bytes", BinaryType(), False),
+        StructField("block_last", ArrayType(LongType()), False),
+        StructField("block_max", ArrayType(DoubleType()), False),
+        StructField("doc_off", ArrayType(IntegerType()), False),
+        StructField("tf_off", ArrayType(IntegerType()), False),
+        StructField("dl_off", ArrayType(IntegerType()), False),
+    ]
+)
 
 
 def _manifest_path(out_dir: str) -> str:
@@ -153,6 +295,27 @@ def init_stats(
         F.sha2(F.col(text_col), 256).alias("content_sha"),
     )
     toks.write.mode("overwrite").parquet(ds_path)
+    # term dictionary (tid = xxhash64(term) -> term): the build shuffles
+    # integer tids only; the dictionary restores strings at merge. A
+    # 64-bit collision would corrupt a posting list, so fail loudly.
+    dict_path = os.path.join(out_dir, "term_dict")
+    (
+        with_tokens(corpus, text_col)
+        .select(F.explode("tokens").alias("term"))
+        .distinct()
+        .select(F.xxhash64("term").alias("tid"), "term")
+        .write.mode("overwrite").parquet(dict_path)
+    )
+    collisions = (
+        spark.read.parquet(dict_path)
+        .groupBy("tid").agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1).count()
+    )
+    if collisions:
+        raise RuntimeError(
+            f"{collisions} xxhash64 term-id collisions — rebuild with a "
+            "wider term key (tid+length) before trusting this index"
+        )
     n_docs, avgdl, n_tokens = (
         spark.read.parquet(ds_path)
         .agg(F.count(F.lit(1)), F.avg("dl"), F.sum("dl"))
@@ -179,58 +342,68 @@ def build_index(
     n_salts: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shard_batch: int | None = None,
 ) -> dict:
     """Full checkpointed build; idempotent/resumable. Returns manifest."""
     manifest = init_stats(spark, corpus, out_dir, id_col, text_col)
     avgdl = manifest["stats"]["avgdl"]
 
-    # Shard builds are independent bounded jobs; run a few concurrently
-    # so Spark's scheduler fills the cluster (on a real cluster each
-    # shard job gets its own stage pipeline; locally threads overlap the
-    # fixed per-job latency). The manifest is the checkpoint: each shard
-    # appends its lineage entry under a lock as it completes.
-    from concurrent.futures import ThreadPoolExecutor
-    from threading import Lock
-
-    from pyspark.sql import Observation
-
-    lock = Lock()
+    # Shards are the checkpoint/lineage unit; BATCHES are the job unit.
+    # One Spark job scans+tokenizes the corpus ONCE per batch and fans
+    # the result into all of that batch's shard partials via a single
+    # groupBy(shard, term) — per-shard jobs would each re-scan and
+    # re-decompress the whole input (measured 2.5-3x slowdown under
+    # concurrency). Default: one batch = all remaining shards (one pass
+    # over the data); shrink shard_batch for finer failure recovery on
+    # very long builds.
     todo = [s for s in range(n_shards)
             if manifest["shards"].get(str(s), {}).get("status") != "ok"]
+    batch_size = shard_batch or n_shards
 
-    def build_shard(shard: int):
+    shard_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    for lo in range(0, len(todo), batch_size):
+        batch = todo[lo:lo + batch_size]
         t0 = time.time()
-        sub = corpus.where(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)) == shard
+        sub = corpus if len(batch) == n_shards else corpus.where(
+            shard_col.isin(batch)
         )
-        pl = (
-            with_tokens(sub, text_col)
-            .select(F.col(id_col).alias("doc_id"),
-                    F.size("tokens").cast("long").alias("dl"),
-                    F.explode("tokens").alias("term"))
-            .groupBy("term", "doc_id", "dl")
-            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        raw = with_tokens(sub, text_col).select(
+            shard_col.alias("shard"),
+            F.col(id_col).alias("doc_id"),
+            F.size("tokens").cast("long").alias("dl"),
+            F.explode("tokens").alias("term"),
+        ).select("shard", F.xxhash64("term").alias("tid"), "doc_id", "dl")
+        enc = raw.repartition("shard", "tid").mapInPandas(
+            _encode_partition_fn(avgdl), TID_ENC_SCHEMA
         )
-        enc = pl.groupBy("term").applyInPandas(_encode_group_fn(avgdl), ENC_SCHEMA)
-        obs = Observation(f"shard{shard}")
-        enc = enc.observe(obs, F.count(F.lit(1)).alias("n_terms"),
-                          F.sum("n_docs").alias("n_postings"))
-        shard_path = os.path.join(out_dir, "partials", f"shard={shard}")
-        enc.write.mode("overwrite").parquet(shard_path)
-        got = obs.get
-        with lock:
-            manifest["shards"][str(shard)] = {
-                "n_terms": int(got["n_terms"] or 0),
-                "n_postings": int(got["n_postings"] or 0),
-                "wall_ms": int((time.time() - t0) * 1000),
+        (
+            enc.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("shard")
+            .parquet(os.path.join(out_dir, "partials"))
+        )
+        wall_ms = int((time.time() - t0) * 1000)
+        # lineage per shard from the written partials (one small agg)
+        written = (
+            spark.read.option("basePath", os.path.join(out_dir, "partials"))
+            .parquet(*[os.path.join(out_dir, "partials", f"shard={s}")
+                       for s in batch])
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_terms"),
+                 F.sum("n_docs").alias("n_postings"))
+            .collect()
+        )
+        stats_by_shard = {int(r["shard"]): r for r in written}
+        for s in batch:
+            r = stats_by_shard.get(s)
+            manifest["shards"][str(s)] = {
+                "n_terms": int(r["n_terms"]) if r else 0,
+                "n_postings": int(r["n_postings"]) if r else 0,
+                "wall_ms": wall_ms,
+                "batch": [int(b) for b in batch],
                 "status": "ok",
             }
-            _save_manifest(out_dir, manifest)
-
-    if todo:
-        workers = int(os.environ.get("SPARK_GRAFT_BUILD_THREADS", "4"))
-        with ThreadPoolExecutor(max_workers=max(1, min(workers, len(todo)))) as ex:
-            list(ex.map(build_shard, todo))
+        _save_manifest(out_dir, manifest)
 
     return merge_partials(spark, out_dir, hot_df_threshold, n_salts)
 
@@ -250,8 +423,8 @@ def merge_partials(
     partials = spark.read.option(
         "basePath", os.path.join(out_dir, "partials")
     ).parquet(os.path.join(out_dir, "partials"))
-    dfs = partials.groupBy("term").agg(F.sum("n_docs").alias("df"))
-    with_df = partials.join(F.broadcast(dfs), "term").withColumn(
+    dfs = partials.groupBy("tid").agg(F.sum("n_docs").alias("df"))
+    with_df = partials.join(F.broadcast(dfs), "tid").withColumn(
         "msalt",
         F.when(
             F.col("df") > hot_df_threshold,
@@ -259,12 +432,19 @@ def merge_partials(
                    F.lit(n_salts)).cast("int"),
         ).otherwise(F.lit(0)),
     )
-    merged = with_df.groupBy("term", "msalt").applyInPandas(
-        _merge_group_fn(avgdl), ENC_SCHEMA
+    merged = with_df.groupBy("tid", "msalt").applyInPandas(
+        _merge_group_fn(avgdl), TID_MERGED_SCHEMA
     )
-    out = merged.join(F.broadcast(dfs), "term").select(
-        "term", "salt", "df", "n_docs", "doc_bytes", "tf_bytes", "dl_bytes",
-        "block_last", "block_max", "doc_off", "tf_off", "dl_off",
+    # distinct: streaming batches append (possibly repeated) dict rows
+    tdict = spark.read.parquet(os.path.join(out_dir, "term_dict")).distinct()
+    out = (
+        merged.join(F.broadcast(dfs), "tid")
+        .join(F.broadcast(tdict), "tid")
+        .select(
+            "term", "tid", "salt", "df", "n_docs", "doc_bytes", "tf_bytes",
+            "dl_bytes", "block_last", "block_max", "doc_off", "tf_off",
+            "dl_off",
+        )
     )
     out.sortWithinPartitions("term").write.mode("overwrite").parquet(
         os.path.join(out_dir, "postings")

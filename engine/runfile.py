@@ -35,3 +35,19 @@ def write_runfile(results: DataFrame, path: str, tag: str = RUN_TAG) -> None:
         .write.mode("overwrite")
         .text(path)
     )
+
+
+def ranklib_lines(features: DataFrame, feature_cols: list[str],
+                  rel_col: str = "rel", qid_col: str = "query_id") -> DataFrame:
+    """K3: RankLib training-file lines
+    "<rel> qid:<q> 1:<f1> 2:<f2> ... # <doc_id>"
+    (reference KotlinRanklibFormatter.kt:26-30,208-213)."""
+    parts = [
+        F.col(rel_col).cast("int").cast("string"),
+        F.concat(F.lit("qid:"), F.col(qid_col)),
+    ]
+    for i, c in enumerate(feature_cols, start=1):
+        parts.append(F.concat(F.lit(f"{i}:"),
+                              F.format_number(F.col(c).cast("double"), 6)))
+    parts.append(F.concat(F.lit("# "), F.col("doc_id").cast("string")))
+    return features.select(F.concat_ws(" ", *parts).alias("line"))

@@ -30,7 +30,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .analysis import with_tokens
-from .postings import ENC_SCHEMA, _encode_group_fn, _save_manifest, load_manifest
+from .postings import (
+    STREAM_ENC_SCHEMA, _encode_tid_group_fn, _save_manifest, load_manifest,
+)
 
 
 def start_incremental_index(
@@ -52,16 +54,21 @@ def start_incremental_index(
     on merge, which build_index's merge phase does)."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        pl = (
+        raw = (
             with_tokens(batch_df, text_col)
             .select(F.col(id_col).alias("doc_id"),
                     F.size("tokens").cast("long").alias("dl"),
                     F.explode("tokens").alias("term"))
-            .groupBy("term", "doc_id", "dl")
-            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
         )
-        enc = pl.groupBy("term").applyInPandas(
-            _encode_group_fn(avgdl_hint), ENC_SCHEMA
+        # newly-seen terms extend the dictionary (dedup at merge read)
+        (
+            raw.select(F.xxhash64("term").alias("tid"), "term").distinct()
+            .write.mode("append").parquet(os.path.join(out_dir, "term_dict"))
+        )
+        enc = (
+            raw.select(F.xxhash64("term").alias("tid"), "doc_id", "dl")
+            .groupBy("tid")
+            .applyInPandas(_encode_tid_group_fn(avgdl_hint), STREAM_ENC_SCHEMA)
         )
         shard_path = os.path.join(out_dir, "partials", f"shard=stream{batch_id}")
         enc.write.mode("overwrite").parquet(shard_path)

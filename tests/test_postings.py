@@ -155,7 +155,7 @@ def test_resumability(spark, documents, tmp_path):
     try:
         with pytest.raises(Boom):
             build_index(spark, documents, out, n_shards=4,
-                        hot_df_threshold=100, n_salts=4)
+                        hot_df_threshold=100, n_salts=4, shard_batch=1)
     finally:
         P._save_manifest = orig
 
@@ -164,7 +164,7 @@ def test_resumability(spark, documents, tmp_path):
     assert 0 < len(done_before) < 4 and not m["merged"]
 
     build_index(spark, documents, out, n_shards=4,
-                hot_df_threshold=100, n_salts=4)
+                hot_df_threshold=100, n_salts=4, shard_batch=1)
     m2 = load_manifest(out)
     assert m2["merged"] and len(m2["shards"]) == 4
 
