@@ -289,10 +289,15 @@ def init_stats(
         return manifest
     ds_path = os.path.join(out_dir, "doc_stats")
     st_path = os.path.join(out_dir, "stats")
-    toks = with_tokens(corpus, text_col).select(
+    tokenized = with_tokens(corpus, text_col).select(
         F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        "tokens",
+    ).persist()  # two consumers below; spills to disk if it doesn't fit
+    toks = tokenized.select(
+        "doc_id",
         F.size("tokens").cast("long").alias("dl"),
-        F.sha2(F.col(text_col), 256).alias("content_sha"),
+        F.sha2(F.col("_text"), 256).alias("content_sha"),
     )
     toks.write.mode("overwrite").parquet(ds_path)
     # term dictionary (tid = xxhash64(term) -> term): the build shuffles
@@ -300,12 +305,12 @@ def init_stats(
     # 64-bit collision would corrupt a posting list, so fail loudly.
     dict_path = os.path.join(out_dir, "term_dict")
     (
-        with_tokens(corpus, text_col)
-        .select(F.explode("tokens").alias("term"))
+        tokenized.select(F.explode("tokens").alias("term"))
         .distinct()
         .select(F.xxhash64("term").alias("tid"), "term")
         .write.mode("overwrite").parquet(dict_path)
     )
+    tokenized.unpersist()
     collisions = (
         spark.read.parquet(dict_path)
         .groupBy("tid").agg(F.count(F.lit(1)).alias("c"))
