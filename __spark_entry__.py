@@ -591,6 +591,22 @@ def q_streaming_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events table (30 min gap)."""
+    from engine.events import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev)
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent view."""
+    from engine.events import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return asof_join(ev)
+
+
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata/byte stats over synthetic binary payloads."""
     from engine.multimodal import media_stats, synth_media
@@ -664,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alpha_blend": q_alpha_blend,
         "windowed_event_counts": q_windowed_event_counts,
         "streaming_incremental_topk": q_streaming_incremental_topk,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "media_stats": q_media_stats,
         "media_byte_histogram": q_media_byte_histogram,  # rows-only
         "frame_sample_plan": q_frame_sample_plan,
@@ -1048,6 +1066,8 @@ q AS (SELECT term AS key, c * 1.0 / sum(c) OVER () AS prob FROM gdist)"""
             FROM events GROUP BY 1, 2
         """,
         "streaming_incremental_topk": _TOPK_SQL,
+        "sessionize": __import__("engine.events", fromlist=["x"]).sessionize_sql(),
+        "asof_join": __import__("engine.events", fromlist=["x"]).asof_join_sql(),
         "media_stats": """
             SELECT doc_id AS media_id,
                    CASE WHEN doc_id % 3 = 0 THEN 'image'

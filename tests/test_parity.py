@@ -144,3 +144,39 @@ def test_adjacency_sorted(spark):
     )
     got = {r.node: r.neighbors for r in adjacency(edges).collect()}
     assert got == {"1": ["a", "b"], "2": ["c"]}
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime
+
+    from engine.events import sessionize
+
+    rows = [
+        (1, 10, datetime(2024, 1, 1, 0, 0)),
+        (2, 10, datetime(2024, 1, 1, 0, 10)),   # same session (10 min)
+        (3, 10, datetime(2024, 1, 1, 1, 0)),    # new session (50 min gap)
+        (4, 20, datetime(2024, 1, 1, 0, 5)),    # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {r.event_id: r.session_id for r in sessionize(df).collect()}
+    assert got[1] == got[2] == "10#1"
+    assert got[3] == "10#2"
+    assert got[4] == "20#1"
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from engine.events import asof_join
+
+    rows = [
+        (1, 10, datetime(2024, 1, 1, 0, 0), "view"),
+        (2, 10, datetime(2024, 1, 1, 0, 5), "purchase"),  # matches view 1
+        (3, 10, datetime(2024, 1, 1, 0, 9), "view"),
+        (4, 10, datetime(2024, 1, 1, 0, 10), "purchase"), # matches view 3
+        (5, 20, datetime(2024, 1, 1, 0, 1), "purchase"),  # no prior view
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {r.event_id: r.asof_event_id for r in asof_join(df).collect()}
+    assert got[2] == 1 and got[4] == 3 and got[5] is None
