@@ -200,25 +200,97 @@ def _BURN(n):  # top-level for pickling
     return h[0]
 
 
-def run_tokenize_phase(corpus_path: str, cpus: int) -> float:
-    """CPU-bound phase in isolation: JVM tokenize+explode over the full
-    corpus (the per-core work of the build, no shuffle/Python)."""
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+def _raw_tokens_df(spark, corpus_path: str):
+    """The build's pre-shuffle projection: (shard, tid, doc_id, dl) —
+    fixed-width integers only, identical to build_index's `raw`."""
     from pyspark.sql import functions as F
 
     from engine.analysis import with_tokens
 
-    spark = _mk_spark(cpus)
-    spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(corpus_path)
     with_tokens(docs.limit(2000), "content").select(
-        F.sum(F.size("tokens"))).collect()
-    raw = with_tokens(docs, "content").select(
-        F.col("doc_id"), F.explode("tokens").alias("term"))
+        F.sum(F.size("tokens"))).collect()  # codegen warmup
+    shard_col = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(8)).cast("int")
+    return with_tokens(docs, "content").select(
+        shard_col.alias("shard"),
+        F.col("doc_id"),
+        F.size("tokens").cast("long").alias("dl"),
+        F.explode("tokens").alias("term"),
+    ).select("shard", F.xxhash64("term").alias("tid"), "doc_id", "dl")
+
+
+def run_tokenize_phase(corpus_path: str, cpus: int) -> float:
+    """CPU-bound phase in isolation: JVM tokenize+explode over the full
+    corpus (the per-core work of the build, no shuffle/Python)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    spark = _mk_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    raw = _raw_tokens_df(spark, corpus_path)
     t0 = time.time()
     raw.count()
     wall = time.time() - t0
     spark.stop()
+    return round(wall, 3)
+
+
+def run_shuffle_phase(corpus_path: str, cpus: int) -> float:
+    """tokenize + explode + hash repartition by (shard, tid), fully
+    materialized via a noop sink — the shuffle's write+read cost on top
+    of the CPU phase, still zero Python."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    spark = _mk_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    raw = _raw_tokens_df(spark, corpus_path)
+    t0 = time.time()
+    raw.repartition("shard", "tid").write.format("noop").mode(
+        "overwrite").save()
+    wall = time.time() - t0
+    spark.stop()
+    return round(wall, 3)
+
+
+def run_encode_phase(corpus_path: str, cpus: int) -> float:
+    """The full build hot path minus parquet output: shuffle + Arrow
+    JVM->Python transfer + numpy lexsort/encode kernel, noop sink."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from engine.postings import TID_ENC_SCHEMA, _encode_partition_fn
+
+    spark = _mk_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    raw = _raw_tokens_df(spark, corpus_path)
+    t0 = time.time()
+    (
+        raw.repartition("shard", "tid")
+        .mapInPandas(_encode_partition_fn(200.0), TID_ENC_SCHEMA)
+        .write.format("noop").mode("overwrite").save()
+    )
+    wall = time.time() - t0
+    spark.stop()
+    return round(wall, 3)
+
+
+def run_fixed_overhead(cpus: int) -> float:
+    """Per-build fixed cost (job scheduling, manifest, stats write,
+    small-table reads) measured directly: a full build over a 2k-doc
+    corpus — data-independent work dominates at that size. Used for the
+    overhead-subtracted efficiency estimate."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from engine.corpusgen import synth_corpus
+    from engine.postings import build_index
+
+    spark = _mk_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = synth_corpus(spark, 2000).cache()
+    docs.count()
+    out = tempfile.mkdtemp(prefix=f"fixed_{cpus}_")
+    try:
+        t0 = time.time()
+        build_index(spark, docs, out, n_shards=8, hot_df_threshold=10**9,
+                    n_salts=8, id_col="doc_id", text_col="content")
+        wall = time.time() - t0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
     return round(wall, 3)
 
 
@@ -232,42 +304,64 @@ def run_scaling(n_docs: int) -> None:
 
     corpus = _scaling_corpus(n_docs)
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
-    res: dict[int, list[dict]] = {8: [], 32: []}
-    tok: dict[int, list[float]] = {8: [], 32: []}
+    phases = ("scaling-build", "tokenize-phase", "shuffle-phase",
+              "encode-phase")
+    res: dict[str, dict[int, list[float]]] = {
+        p: {8: [], 32: []} for p in phases
+    }
     for rep in range(reps):
         for cpus in (8, 32):
-            out = subprocess.run(
-                [sys.executable, __file__, "--scaling-build", corpus, str(cpus)],
-                capture_output=True, text=True, check=True,
-            )
-            res[cpus].append(json.loads(out.stdout.strip().splitlines()[-1]))
-            out = subprocess.run(
-                [sys.executable, __file__, "--tokenize-phase", corpus, str(cpus)],
-                capture_output=True, text=True, check=True,
-            )
-            tok[cpus].append(float(out.stdout.strip().splitlines()[-1]))
+            for phase in phases:
+                out = subprocess.run(
+                    [sys.executable, __file__, f"--{phase}", corpus,
+                     str(cpus)],
+                    capture_output=True, text=True, check=True,
+                )
+                line = out.stdout.strip().splitlines()[-1]
+                if phase == "scaling-build":
+                    res[phase][cpus].append(json.loads(line)["wall_sec"])
+                else:
+                    res[phase][cpus].append(float(line))
+    fixed = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--fixed-overhead", str(cpus)],
+            capture_output=True, text=True, check=True,
+        )
+        fixed[cpus] = float(out.stdout.strip().splitlines()[-1])
     # best-of-reps: the sandbox VM shows 2-3x CPU-steal noise; min wall
     # is the closest estimate of the machine-limited time
-    w8 = min(r["wall_sec"] for r in res[8])
-    w32 = min(r["wall_sec"] for r in res[32])
-    t8, t32 = min(tok[8]), min(tok[32])
+    best = {p: {c: min(v) for c, v in byc.items()}
+            for p, byc in res.items()}
+
+    def eff(p):
+        return round((best[p][8] / best[p][32]) / 4, 3)
+
+    w8, w32 = best["scaling-build"][8], best["scaling-build"][32]
+    adj8 = max(w8 - fixed[8], 0.001)
+    adj32 = max(w32 - fixed[32], 0.001)
     hw = _hw_ceiling()
-    eff_e2e = (w8 / w32) / 4
-    eff_tok = (t8 / t32) / 4
     print(json.dumps({
         "metric": "index-build scaling local[8]->local[32] (sandbox stand-in for N->4N executors)",
         "n_docs": n_docs,
         "build_wall_8": w8, "build_wall_32": w32,
         "build_docs_per_sec_32": round(n_docs / w32, 1),
-        "build_efficiency": round(eff_e2e, 3),
-        "tokenize_wall_8": t8, "tokenize_wall_32": t32,
-        "tokenize_efficiency": round(eff_tok, 3),
+        "build_efficiency": eff("scaling-build"),
+        "fixed_overhead_8": fixed[8], "fixed_overhead_32": fixed[32],
+        "build_efficiency_minus_fixed": round((adj8 / adj32) / 4, 3),
+        "phase_walls": {p: {str(c): best[p][c] for c in (8, 32)}
+                        for p in phases},
+        "phase_efficiency": {
+            "tokenize": eff("tokenize-phase"),
+            "tokenize_plus_shuffle": eff("shuffle-phase"),
+            "tokenize_shuffle_arrow_encode": eff("encode-phase"),
+            "e2e_build": eff("scaling-build"),
+        },
         "hw_ceiling": hw,
         "tokenize_efficiency_vs_hw_ceiling": round(
-            eff_tok / (hw["max_speedup_8_to_32"] / 4), 3),
-        "all_build_walls": {str(k): [r["wall_sec"] for r in v]
-                            for k, v in res.items()},
-        "all_tokenize_walls": {str(k): v for k, v in tok.items()},
+            eff("tokenize-phase") / (hw["max_speedup_8_to_32"] / 4), 3),
+        "all_walls": {p: {str(c): v for c, v in byc.items()}
+                      for p, byc in res.items()},
     }))
 
 
@@ -280,6 +374,15 @@ if __name__ == "__main__":
     elif "--tokenize-phase" in sys.argv:
         i = sys.argv.index("--tokenize-phase")
         print(run_tokenize_phase(sys.argv[i + 1], int(sys.argv[i + 2])))
+    elif "--shuffle-phase" in sys.argv:
+        i = sys.argv.index("--shuffle-phase")
+        print(run_shuffle_phase(sys.argv[i + 1], int(sys.argv[i + 2])))
+    elif "--encode-phase" in sys.argv:
+        i = sys.argv.index("--encode-phase")
+        print(run_encode_phase(sys.argv[i + 1], int(sys.argv[i + 2])))
+    elif "--fixed-overhead" in sys.argv:
+        i = sys.argv.index("--fixed-overhead")
+        print(run_fixed_overhead(int(sys.argv[i + 1])))
     elif "--scaling" in sys.argv:
         run_scaling(int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000")))
     else:

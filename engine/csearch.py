@@ -131,9 +131,19 @@ def search_index(
     queries: DataFrame,
     k: int = TOP_K,
     prune: bool | str = "auto",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Top-k BM25 over a compressed index (from postings.build_index /
-    read_index). Returns (query_id, doc_id, score, rank)."""
+    read_index). Returns (query_id, doc_id, score, rank).
+
+    round_dp: when set, scores are rounded to that many decimals BEFORE
+    the top-k window, so the ranking (and tie-breaks) is exact under the
+    rounded order — not a raw-precision buffer re-ranked afterwards. The
+    block-max threshold is relaxed by one rounding quantum so a doc
+    whose raw score sits just below the raw k-th score but rounds into a
+    tie can never be pruned: round() raises a score by < 0.5*10^-dp and
+    lowers the k-th score by <= 0.5*10^-dp, so only docs within one
+    quantum of theta can change rounded order, and those are kept."""
     n_docs, avgdl = index["n_docs"], index["avgdl"]
     if prune == "auto":
         prune = n_docs >= AUTO_PRUNE_MIN_DOCS
@@ -153,6 +163,11 @@ def search_index(
         .withColumn("w", F.col("qtf") * F.col("idf"))
     )
 
+    def _finish(scored: DataFrame) -> DataFrame:
+        if round_dp is not None:
+            scored = scored.withColumn("score", F.round("score", round_dp))
+        return _topk(scored, k)
+
     if not prune:
         scored = (
             rows.select("query_id", "w", "doc_bytes", "tf_bytes", "dl_bytes",
@@ -161,7 +176,7 @@ def search_index(
             .groupBy("query_id", "doc_id")
             .agg(F.sum("term_score").alias("score"))
         )
-        return _topk(scored, k)
+        return _finish(scored)
 
     rows = rows.cache()
 
@@ -192,6 +207,11 @@ def search_index(
         )
         .select("query_id", "theta")
     )
+    if round_dp is not None:
+        # relax by one rounding quantum (see docstring)
+        theta = theta.withColumn(
+            "theta", F.col("theta") - F.lit(10.0 ** -round_dp)
+        )
 
     # phase 2: per-(query,term) tmax, per-query UBsum, then a block keep
     # list computed with JVM higher-order functions (no explode, no
@@ -232,7 +252,7 @@ def search_index(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("term_score").alias("score"))
     )
-    return _topk(scored, k)
+    return _finish(scored)
 
 
 def pruning_stats(

@@ -127,11 +127,26 @@ def kl_divergence(p: DataFrame, q: DataFrame, key: str = "key",
 def total_variation(p: DataFrame, q: DataFrame, key: str = "key",
                     by: str | None = None) -> DataFrame:
     """T8 (GreenFunction.java:69-75): 0.5 * sum |p - q| over the key
-    union (full outer join, missing prob = 0)."""
-    pp = p.select(*([by] if by else []), F.col(key), F.col("prob").alias("p_prob"))
+    UNION (missing prob = 0 on either side).
+
+    With ``by`` set, the key union is built per group: every (group,
+    q-key) pair exists in the frame, so keys carrying q-mass but absent
+    from that group's p contribute |0 - q| — the reference sums over the
+    union of both key sets (GreenFunction.java:70-73), and a left join
+    would silently understate the distance."""
     qq = q.select(F.col(key), F.col("prob").alias("q_prob"))
-    joined = pp.join(qq, key, "full_outer" if not by else "left")
-    grp = [by] if by else []
+    if not by:
+        pp = p.select(F.col(key), F.col("prob").alias("p_prob"))
+        joined = pp.join(qq, key, "full_outer")
+        grp = []
+    else:
+        pp = p.select(by, F.col(key), F.col("prob").alias("p_prob"))
+        # per-group key union: (group x q-keys) full-outer p's own keys
+        frame = p.select(by).distinct().crossJoin(qq.select(key)).join(
+            pp, [by, key], "full_outer"
+        )
+        joined = frame.join(qq, key, "left")
+        grp = [by]
     return joined.groupBy(*grp).agg(
         (F.sum(F.abs(F.coalesce(F.col("p_prob"), F.lit(0.0))
                      - F.coalesce(F.col("q_prob"), F.lit(0.0)))) / 2).alias("tvd")

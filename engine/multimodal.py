@@ -93,20 +93,29 @@ HIST_SCHEMA = StructType(
 
 
 def byte_histogram(media: DataFrame, n_buckets: int = 16) -> DataFrame:
-    """16-bucket byte histogram per payload via mapInPandas — the
-    Arrow-batched template any real feature extractor (decode, resize,
-    embed) drops into: iterate batches, numpy per column, never per row
-    in Python."""
+    """16-bucket high-nibble byte histogram per payload via mapInPandas —
+    the Arrow-batched template any real feature extractor (decode,
+    resize, embed) drops into. Fully vectorized: the whole batch's
+    payloads are concatenated into ONE numpy buffer and a single
+    np.add.at scatter builds every row's histogram — no per-payload
+    Python loop."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, hists = [], []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                h = np.bincount(arr >> 4, minlength=n_buckets)[:n_buckets]
-                ids.append(mid)
-                hists.append(h.astype(np.int64).tolist())
-            yield pd.DataFrame({"media_id": ids, "histogram": hists})
+            if not len(pdf):
+                continue
+            payloads = list(pdf["payload"])
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                               count=len(payloads))
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            row_idx = np.repeat(np.arange(len(payloads)), lens)
+            flat = np.zeros(len(payloads) * n_buckets, dtype=np.int64)
+            np.add.at(flat, row_idx * n_buckets + (buf >> 4), 1)
+            hists = flat.reshape(-1, n_buckets)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(),
+                 "histogram": hists.tolist()}
+            )
 
     return media.select("media_id", "payload").mapInPandas(fn, HIST_SCHEMA)
 

@@ -289,11 +289,16 @@ def init_stats(
         return manifest
     ds_path = os.path.join(out_dir, "doc_stats")
     st_path = os.path.join(out_dir, "stats")
+    from pyspark import StorageLevel
+
+    # two consumers below (doc_stats write + term dictionary); DISK_ONLY:
+    # at 100 TB the tokenized corpus never fits in executor memory and
+    # evicting it through the memory pool just adds GC pressure
     tokenized = with_tokens(corpus, text_col).select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("_text"),
         "tokens",
-    ).persist()  # two consumers below; spills to disk if it doesn't fit
+    ).persist(StorageLevel.DISK_ONLY)
     toks = tokenized.select(
         "doc_id",
         F.size("tokens").cast("long").alias("dl"),
@@ -413,23 +418,50 @@ def build_index(
     return merge_partials(spark, out_dir, hot_df_threshold, n_salts)
 
 
-def merge_partials(
+def refresh_stats(spark: SparkSession, out_dir: str, manifest: dict) -> dict:
+    """Recompute n_docs/avgdl from batch + streamed doc stats (dedup by
+    doc_id: a doc may appear in both the batch build and a stream batch)
+    and rewrite stats/ + the manifest. Called at merge time so streamed
+    docs enter the collection statistics BM25 idf/avgdl reads."""
+    paths = [p for p in (os.path.join(out_dir, "doc_stats"),
+                         os.path.join(out_dir, "doc_stats_stream"))
+             if os.path.exists(p)]
+    all_ds = None
+    for p in paths:
+        d = spark.read.parquet(p).select("doc_id", "dl")
+        all_ds = d if all_ds is None else all_ds.unionAll(d)
+    n_docs, avgdl = (
+        all_ds.dropDuplicates(["doc_id"])
+        .agg(F.count(F.lit(1)), F.avg("dl"))
+        .collect()[0]
+    )
+    avgdl = float(avgdl or 0.0)
+    spark.createDataFrame(
+        [(int(n_docs), avgdl)],
+        StructType([StructField("n_docs", LongType()),
+                    StructField("avgdl", DoubleType())]),
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
+    manifest["stats"]["n_docs"] = int(n_docs)
+    manifest["stats"]["avgdl"] = avgdl
+    _save_manifest(out_dir, manifest)
+    return manifest
+
+
+def merge_plan(
     spark: SparkSession,
     out_dir: str,
+    avgdl: float,
     hot_df_threshold: int = 1 << 17,
     n_salts: int = 8,
-) -> dict:
-    """Merge all partial shards (batch- or stream-written) into the
-    final postings table with explicit hot-term salt splitting. Safe to
-    re-run; also refreshes nothing else (stats are build-time)."""
-    manifest = load_manifest(out_dir)
-    avgdl = manifest["stats"]["avgdl"]
-    t0 = time.time()
+) -> DataFrame:
+    """The merge dataflow as an unexecuted DataFrame (separated so plan
+    tests can assert its physical shape — no broadcast of per-term
+    tables)."""
     partials = spark.read.option(
         "basePath", os.path.join(out_dir, "partials")
     ).parquet(os.path.join(out_dir, "partials"))
     dfs = partials.groupBy("tid").agg(F.sum("n_docs").alias("df"))
-    with_df = partials.join(F.broadcast(dfs), "tid").withColumn(
+    with_df = partials.join(dfs, "tid").withColumn(
         "msalt",
         F.when(
             F.col("df") > hot_df_threshold,
@@ -442,15 +474,41 @@ def merge_partials(
     )
     # distinct: streaming batches append (possibly repeated) dict rows
     tdict = spark.read.parquet(os.path.join(out_dir, "term_dict")).distinct()
-    out = (
-        merged.join(F.broadcast(dfs), "tid")
-        .join(F.broadcast(tdict), "tid")
+    return (
+        merged.join(dfs, "tid")
+        .join(tdict, "tid")
         .select(
             "term", "tid", "salt", "df", "n_docs", "doc_bytes", "tf_bytes",
             "dl_bytes", "block_last", "block_max", "doc_off", "tf_off",
             "dl_off",
         )
     )
+
+
+def merge_partials(
+    spark: SparkSession,
+    out_dir: str,
+    hot_df_threshold: int = 1 << 17,
+    n_salts: int = 8,
+) -> dict:
+    """Merge all partial shards (batch- or stream-written) into the
+    final postings table with explicit hot-term salt splitting. Safe to
+    re-run. Refreshes n_docs/avgdl first (streamed docs enter collection
+    stats), then re-encodes every block-max bound with the refreshed
+    avgdl, so serving-time stats and stored bounds stay consistent.
+
+    Scale note: ``dfs`` and ``term_dict`` have one row PER DISTINCT TERM
+    (10^8-10^9 rows at the 10^12-file north-star scale), so neither is
+    broadcast — both joins shuffle on tid and Catalyst/AQE picks the
+    physical strategy (it will still auto-broadcast when genuinely
+    small). An unconditional broadcast hint here OOMs the driver at
+    scale."""
+    manifest = load_manifest(out_dir)
+    if os.path.exists(os.path.join(out_dir, "doc_stats_stream")):
+        manifest = refresh_stats(spark, out_dir, manifest)
+    avgdl = manifest["stats"]["avgdl"]
+    t0 = time.time()
+    out = merge_plan(spark, out_dir, avgdl, hot_df_threshold, n_salts)
     out.sortWithinPartitions("term").write.mode("overwrite").parquet(
         os.path.join(out_dir, "postings")
     )
@@ -461,11 +519,19 @@ def merge_partials(
 
 
 def read_index(spark: SparkSession, out_dir: str) -> dict:
-    """Open a built index: postings DF + doc_stats DF + scalar stats."""
+    """Open a built index: postings DF + doc_stats DF + scalar stats.
+    doc_stats is the dedup union of the batch table and any streamed
+    additions (a doc ingested by both paths counts once)."""
     st = spark.read.parquet(os.path.join(out_dir, "stats")).collect()[0]
+    ds = spark.read.parquet(os.path.join(out_dir, "doc_stats"))
+    stream_p = os.path.join(out_dir, "doc_stats_stream")
+    if os.path.exists(stream_p):
+        ds = ds.unionAll(
+            spark.read.parquet(stream_p).select(*ds.columns)
+        ).dropDuplicates(["doc_id"])
     return {
         "postings": spark.read.parquet(os.path.join(out_dir, "postings")),
-        "doc_stats": spark.read.parquet(os.path.join(out_dir, "doc_stats")),
+        "doc_stats": ds,
         "n_docs": int(st["n_docs"]),
         "avgdl": float(st["avgdl"]),
     }

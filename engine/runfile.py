@@ -47,7 +47,10 @@ def ranklib_lines(features: DataFrame, feature_cols: list[str],
         F.concat(F.lit("qid:"), F.col(qid_col)),
     ]
     for i, c in enumerate(feature_cols, start=1):
+        # format_string('%.6f'), NOT format_number: the latter inserts
+        # locale grouping separators ('1,234.500000') for |x| >= 1000,
+        # corrupting the space-delimited RankLib format
         parts.append(F.concat(F.lit(f"{i}:"),
-                              F.format_number(F.col(c).cast("double"), 6)))
+                              F.format_string("%.6f", F.col(c).cast("double"))))
     parts.append(F.concat(F.lit("# "), F.col("doc_id").cast("string")))
     return features.select(F.concat_ws(" ", *parts).alias("line"))

@@ -114,21 +114,26 @@ def rp_lsh_topk(
                 F.when(_dot(F.transform(F.col("vec"), lambda x: x.cast("double")),
                             arr) >= 0, F.lit("1")).otherwise(F.lit("0"))
             )
-        return F.concat(F.lit(f"t{table}:"), *bits)
+        # fixed-width table prefix so multiprobe bit positions are
+        # table-independent
+        return F.concat(F.lit(f"t{table:02d}:"), *bits)
 
+    # ONE scan of embeddings: emit all n_tables bucket keys as an array
+    # and explode — not n_tables unionAll re-scans of the source
     base = embeddings.select(F.col(id_col).alias("vec_id"),
                              F.col(vec_col).alias("vec"))
-    bucketed = None
-    for t in range(n_tables):
-        b = base.withColumn("bucket", bucket_col(t).alias("bucket"))
-        bucketed = b if bucketed is None else bucketed.unionAll(b)
+    bucketed = base.select(
+        "vec_id", "vec",
+        F.explode(F.array(*[bucket_col(t) for t in range(n_tables)])
+                  ).alias("bucket"),
+    )
 
     qb = bucketed.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "bucket"
     )
     if multiprobe >= 1:
         # probe all Hamming-distance-1 buckets: bit i of the suffix flipped
-        prefix_len = len("t0:")
+        prefix_len = len("t00:")
         variants = [F.col("bucket")]
         for i in range(n_planes):
             pos = prefix_len + i + 1  # 1-based for substring

@@ -49,13 +49,27 @@ def start_incremental_index(
     shards under out_dir. Returns the StreamingQuery.
 
     avgdl_hint: block-max bounds need an avgdl; streaming uses the
-    last-known collection value (bounds stay safe as long as the hint is
-    <= the true avgdl used at query time — callers should refresh stats
-    on merge, which build_index's merge phase does)."""
+    last-known collection value. tf_part is INCREASING in avgdl, so a
+    stored bound computed at the hint upper-bounds the true query-time
+    score only while hint >= the serving avgdl. This is guaranteed
+    because merge_partials refreshes collection stats from batch +
+    streamed doc stats (written below) and RE-ENCODES every block with
+    the refreshed avgdl — streamed partials' hint-based bounds never
+    survive to serving."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tokenized = with_tokens(batch_df, text_col)
+        # streamed docs must enter collection stats: doc_id/dl/sha rows
+        # land in doc_stats_stream and merge_partials folds them in
+        (
+            tokenized.select(F.col(id_col).alias("doc_id"),
+                             F.size("tokens").cast("long").alias("dl"),
+                             F.sha2(F.col(text_col), 256).alias("content_sha"))
+            .write.mode("append")
+            .parquet(os.path.join(out_dir, "doc_stats_stream"))
+        )
         raw = (
-            with_tokens(batch_df, text_col)
+            tokenized
             .select(F.col(id_col).alias("doc_id"),
                     F.size("tokens").cast("long").alias("dl"),
                     F.explode("tokens").alias("term"))

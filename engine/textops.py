@@ -16,7 +16,7 @@ Ops:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .analysis import ENGLISH_STOP_WORDS, TOKEN_PATTERN, stopword_sql_list
 
@@ -101,9 +101,18 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
 
 
 def shingles_expr(tokens_col, k: int = SHINGLE_K):
-    """k-token shingles of an analyzer-token array, space-joined."""
+    """k-token shingles of an analyzer-token array, space-joined.
+
+    Docs with fewer than k tokens yield an empty array: the index range
+    must be guarded because Spark's sequence(1, 0) produces a DESCENDING
+    [1, 0] (not an empty array), and slice(tokens, 0, k) then throws
+    INVALID_PARAMETER_VALUE.START at runtime. DuckDB's generate_series
+    (the oracle twin) returns [] for (1, 0), so only this side needs the
+    guard."""
     n = F.size(tokens_col)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(tokens_col, i, k))
     )
@@ -260,6 +269,215 @@ def char_bigrams_top(docs: DataFrame, top_fraction: float = 0.1,
         .where(F.col("rn") <= n_keep)
         .select("bigram", "cnt", "score", F.col("rn").alias("rank"))
     )
+
+
+def _doc_bigrams_expr(text_col: str):
+    """All char 2-grams of a string; empty array below 2 chars (guards
+    the Spark descending-sequence(1,0) pitfall)."""
+    return F.expr(
+        f"CASE WHEN length({text_col}) >= 2 THEN "
+        f"transform(sequence(1, length({text_col}) - 1),"
+        f" i -> substring({text_col}, i, 2)) "
+        f"ELSE array() END"
+    )
+
+
+def doc_bigram_field(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, bigram): the per-document frequent-bigram FIELD the
+    reference indexes alongside text (LuceneIndexBuilder.java:85-92):
+    each doc's char bigrams are scored within the doc as
+    p(b)/(p(c1)*p(c2)) and the top floor(total_occurrences/10) distinct
+    bigrams become multi-valued field terms (BigramAnalyzer.java:39-77,
+    take(finalCounts/10) at :73 — docs under 10 bigrams get an empty
+    field, reproduced).
+
+    Documented deviations (both also noted for the corpus-level T3 op):
+    BigramAnalyzer.java:54-55 mixes charAt(0)/charAt(1) when counting
+    monograms — we count slot marginals correctly; the reference's sort
+    is unstable on ties — we tie-break (score desc, bigram asc).
+
+    Scale shape: every shuffle is keyed by doc_id (or (doc_id, ch)) —
+    per-document groups, bounded by doc length, no global hot key."""
+    bg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_doc_bigrams_expr(text_col)).alias("bigram"),
+    )
+    counts = bg.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wdoc = Window.partitionBy("doc_id")
+    counts = counts.withColumn("total", F.sum("cnt").over(wdoc))
+    chars = (
+        counts.select(
+            "doc_id",
+            F.explode(F.array(F.substring("bigram", 1, 1),
+                              F.substring("bigram", 2, 1))).alias("ch"),
+            "cnt",
+        )
+        .groupBy("doc_id", "ch").agg(F.sum("cnt").alias("ch_cnt"))
+    )
+    c1 = chars.select("doc_id", F.col("ch").alias("_c1"),
+                      F.col("ch_cnt").alias("c1_cnt"))
+    c2 = chars.select("doc_id", F.col("ch").alias("_c2"),
+                      F.col("ch_cnt").alias("c2_cnt"))
+    scored = (
+        counts.withColumn("_c1", F.substring("bigram", 1, 1))
+        .withColumn("_c2", F.substring("bigram", 2, 1))
+        .join(c1, ["doc_id", "_c1"]).join(c2, ["doc_id", "_c2"])
+        .withColumn(
+            "score",
+            (F.col("cnt").cast("double") / F.col("total"))
+            / ((F.col("c1_cnt").cast("double") / (2.0 * F.col("total")))
+               * (F.col("c2_cnt").cast("double") / (2.0 * F.col("total")))),
+        )
+    )
+    wrank = Window.partitionBy("doc_id").orderBy(F.desc("score"),
+                                                 F.asc("bigram"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wrank))
+        .where(F.col("rn") <= F.floor(F.col("total") / 10))
+        .select("doc_id", "bigram")
+    )
+
+
+def bigram_field_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(query_id, doc_id, score, rank): BM25 top-k over the BIGRAM field
+    — the query path the per-doc bigram field enables (the reference
+    indexes the field but exposes no query consuming it; this completes
+    the capability). Query bigrams act as SHOULD TermQuery clauses with
+    qtf weighting (A3 semantics); field tf is always 1 (StringField
+    values are distinct), dl = field value count, avgdl over all docs.
+    Score rounded to 4dp BEFORE the rank window (cross-engine ties)."""
+    from . import B, K1
+
+    field = doc_bigram_field(docs, id_col, text_col)
+    dlb = field.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlb"))
+    n_docs = docs.count()
+    n_values = field.count()
+    if n_values == 0 or n_docs == 0:
+        return queries.select(
+            "query_id", F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("double").alias("score"),
+            F.lit(None).cast("int").alias("rank"),
+        ).where(F.lit(False))
+    avgdl_b = float(n_values) / float(n_docs)
+    dfb = field.groupBy("bigram").agg(F.count(F.lit(1)).alias("df"))
+    qb = (
+        queries.select("query_id",
+                       F.explode(_doc_bigrams_expr("query")).alias("bigram"))
+        .groupBy("query_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    q = F.broadcast(qb.join(dfb, "bigram").withColumn("idf", idf))
+    scored = (
+        field.join(q, "bigram")
+        .join(dlb, "doc_id")
+        .withColumn(
+            "term_score",
+            F.col("qtf").cast("double") * F.col("idf")
+            * F.lit(1.0 + K1)
+            / (F.lit(1.0) + F.lit(K1) * (F.lit(1.0 - B)
+               + F.lit(B) * F.col("dlb").cast("double") / F.lit(avgdl_b))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("term_score"), 4).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def doc_bigram_field_sql(table: str = "documents") -> str:
+    """DuckDB twin of doc_bigram_field: (doc_id, bigram)."""
+    return f"""
+        WITH bg AS (
+            SELECT doc_id, substring(text, i, 2) AS bigram
+            FROM {table},
+                 unnest(generate_series(1, greatest(length(text) - 1, 0))) AS g(i)
+        ),
+        counts AS (
+            SELECT doc_id, bigram, count(*) AS cnt,
+                   sum(count(*)) OVER (PARTITION BY doc_id) AS total
+            FROM bg GROUP BY doc_id, bigram
+        ),
+        chars AS (
+            SELECT doc_id, ch, sum(cnt) AS ch_cnt FROM (
+                SELECT doc_id, substring(bigram, 1, 1) AS ch, cnt FROM counts
+                UNION ALL
+                SELECT doc_id, substring(bigram, 2, 1) AS ch, cnt FROM counts
+            ) GROUP BY doc_id, ch
+        ),
+        scored AS (
+            SELECT c.doc_id, c.bigram, c.total,
+                   (c.cnt::DOUBLE / c.total)
+                   / ((c1.ch_cnt::DOUBLE / (2.0 * c.total))
+                      * (c2.ch_cnt::DOUBLE / (2.0 * c.total))) AS score
+            FROM counts c
+            JOIN chars c1 ON c.doc_id = c1.doc_id
+                         AND substring(c.bigram, 1, 1) = c1.ch
+            JOIN chars c2 ON c.doc_id = c2.doc_id
+                         AND substring(c.bigram, 2, 1) = c2.ch
+        )
+        SELECT doc_id, bigram FROM (
+            SELECT doc_id, bigram, total,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, bigram ASC) AS rn
+            FROM scored
+        ) WHERE rn <= total // 10
+    """
+
+
+def bigram_field_topk_sql(queries_values: str, table: str = "documents",
+                          k: int = 10) -> str:
+    """DuckDB twin of bigram_field_topk. queries_values: a VALUES clause
+    aliased (query_id, query)."""
+    return f"""
+        WITH field AS ({doc_bigram_field_sql(table)}),
+        dlb AS (SELECT doc_id, count(*) AS dlb FROM field GROUP BY doc_id),
+        st AS (SELECT (SELECT count(*) FROM {table}) AS n_docs,
+                      (SELECT count(*) FROM field) * 1.0
+                      / (SELECT count(*) FROM {table}) AS avgdl_b),
+        dfb AS (SELECT bigram, count(*) AS df FROM field GROUP BY bigram),
+        qb AS (
+            SELECT query_id, bigram, count(*) AS qtf FROM (
+                SELECT query_id, substring(query, i, 2) AS bigram
+                FROM {queries_values},
+                     unnest(generate_series(1, greatest(length(query) - 1, 0)))
+                         AS g(i)
+            ) GROUP BY query_id, bigram
+        ),
+        sc AS (
+            SELECT qb.query_id, f.doc_id,
+                   ROUND(SUM(qb.qtf
+                       * ln(1 + (st.n_docs - dfb.df + 0.5) / (dfb.df + 0.5))
+                       * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * dlb.dlb / st.avgdl_b))
+                   ), 4) AS score
+            FROM qb
+            JOIN dfb USING (bigram)
+            JOIN field f USING (bigram)
+            JOIN dlb ON f.doc_id = dlb.doc_id
+            CROSS JOIN st
+            GROUP BY qb.query_id, f.doc_id
+        )
+        SELECT query_id, doc_id, score, rank FROM (
+            SELECT query_id, doc_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id ASC) AS rank
+            FROM sc
+        ) WHERE rank <= {k}
+    """
 
 
 def char_bigrams_top_sql(table: str = "documents",
