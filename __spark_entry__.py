@@ -173,12 +173,6 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5, k=3)
 
 
-def q_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from engine.dedup import simhash
-
-    return simhash(_docs(spark, sf_dir))
-
-
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.dedup import simhash_near_pairs
 
@@ -206,13 +200,14 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qids = list(range(5))
-    brute = cosine_topk(emb, query_ids=qids, k=5)
+    # tiny (|qids| * k rows): collect once instead of running the exact
+    # O(Q*N) brute scan twice (once per .count action)
+    brute = {(r.query_id, r.vec_id)
+             for r in cosine_topk(emb, query_ids=qids, k=5).collect()}
     ann = rp_lsh_topk(spark, emb, query_ids=qids, k=5)
-    hits = brute.select("query_id", "vec_id").join(
-        ann.select("query_id", "vec_id"), ["query_id", "vec_id"]
-    ).count()
-    denom = brute.count()
-    recall = hits / denom if denom else 0.0
+    hits = sum((r.query_id, r.vec_id) in brute
+               for r in ann.select("query_id", "vec_id").collect())
+    recall = hits / len(brute) if brute else 0.0
     return spark.createDataFrame(
         [(len(qids), 5, bool(recall >= ANN_RECALL_TARGET))],
         "n_queries int, k int, recall_ge_target boolean",

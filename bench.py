@@ -29,6 +29,12 @@ import sys
 import tempfile
 import time
 
+#: where --scaling persists its measured evidence (attached to the
+#: default bench JSON so BENCH_r{N}.json carries the efficiency number)
+_SCALING_EVIDENCE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench", "scaling_latest.json"
+)
+
 
 def _mk_spark(cpus: int):
     from pyspark.sql import SparkSession
@@ -101,7 +107,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     total = round(
         timings["index_build"] + timings["query_batch"] + timings["query_p50"], 3
     )
-    return {
+    out = {
         "metric": "index_build + bm25_topk batch + per-query p50 (sec)",
         "value": total,
         "unit": "sec",
@@ -110,6 +116,27 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "cpus": cpus,
         "n_docs": n_docs,
     }
+    # attach the latest measured N-vs-4N scaling evidence (produced by a
+    # separate `python bench.py --scaling` run at 1M docs — too slow to
+    # repeat inline; the attachment is labeled with its own timestamp)
+    if os.path.exists(_SCALING_EVIDENCE_PATH):
+        with open(_SCALING_EVIDENCE_PATH) as fh:
+            ev = json.load(fh)
+        out["scaling"] = {
+            "note": "from a prior `bench.py --scaling` run (protocol: "
+                    "BASELINE.md); not re-measured in this invocation",
+            "n_docs": ev.get("n_docs"),
+            "build_wall_8": ev.get("build_wall_8"),
+            "build_wall_32": ev.get("build_wall_32"),
+            "build_docs_per_sec_32": ev.get("build_docs_per_sec_32"),
+            "build_efficiency": ev.get("build_efficiency"),
+            "build_efficiency_minus_fixed": ev.get(
+                "build_efficiency_minus_fixed"),
+            "phase_efficiency": ev.get("phase_efficiency"),
+            "hw_ceiling": ev.get("hw_ceiling"),
+            "measured_unix_ts": ev.get("measured_unix_ts"),
+        }
+    return out
 
 
 def _scaling_corpus(n_docs: int) -> str:
@@ -201,22 +228,19 @@ def _BURN(n):  # top-level for pickling
 
 
 def _raw_tokens_df(spark, corpus_path: str):
-    """The build's pre-shuffle projection: (shard, tid, doc_id, dl) —
-    fixed-width integers only, identical to build_index's `raw`."""
+    """The build's pre-shuffle projection, via the SAME function the
+    real build uses (engine.postings.raw_token_projection), so the
+    phase-scaling numbers can't drift from the measured plan."""
     from pyspark.sql import functions as F
 
     from engine.analysis import with_tokens
+    from engine.postings import raw_token_projection
 
     docs = spark.read.parquet(corpus_path)
     with_tokens(docs.limit(2000), "content").select(
         F.sum(F.size("tokens"))).collect()  # codegen warmup
-    shard_col = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(8)).cast("int")
-    return with_tokens(docs, "content").select(
-        shard_col.alias("shard"),
-        F.col("doc_id"),
-        F.size("tokens").cast("long").alias("dl"),
-        F.explode("tokens").alias("term"),
-    ).select("shard", F.xxhash64("term").alias("tid"), "doc_id", "dl")
+    return raw_token_projection(docs, 8, id_col="doc_id",
+                                text_col="content")
 
 
 def run_tokenize_phase(corpus_path: str, cpus: int) -> float:
@@ -341,7 +365,7 @@ def run_scaling(n_docs: int) -> None:
     adj8 = max(w8 - fixed[8], 0.001)
     adj32 = max(w32 - fixed[32], 0.001)
     hw = _hw_ceiling()
-    print(json.dumps({
+    result = {
         "metric": "index-build scaling local[8]->local[32] (sandbox stand-in for N->4N executors)",
         "n_docs": n_docs,
         "build_wall_8": w8, "build_wall_32": w32,
@@ -362,7 +386,13 @@ def run_scaling(n_docs: int) -> None:
             eff("tokenize-phase") / (hw["max_speedup_8_to_32"] / 4), 3),
         "all_walls": {p: {str(c): v for c, v in byc.items()}
                       for p, byc in res.items()},
-    }))
+    }
+    result["measured_unix_ts"] = round(time.time(), 1)
+    # persist so the default bench run (the driver's BENCH_r{N}.json)
+    # can attach the latest measured scaling evidence
+    with open(_SCALING_EVIDENCE_PATH, "w") as fh:
+        json.dump(result, fh)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -6,10 +6,14 @@ corpus (BASELINE.md scaling protocol / north_rule spark-submit path).
     spark-submit --master local[32] --py-files engine.zip \
         bench/build_index.py --sf 0.1 --out /path/to/index
 
-Either --corpus (parquet of (doc_id?, repo, path, commit, lang, content))
-or --sf N (driver testdata documents table) selects the input; --gen N
-synthesizes N docs with engine.corpusgen first. Prints one JSON line
-with wall time, docs/sec, and the manifest lineage summary.
+Either --corpus (a parquet path OR a catalog table identifier such as
+`iceberg.code.repos` — see engine/sources.py) or --sf N (driver
+testdata documents table) selects the input; --gen N synthesizes N docs
+with engine.corpusgen first. --langs py,java filters languages with a
+pushed-down scan predicate; --reader-option k=v passes reader options
+through (Iceberg time travel: --reader-option snapshot-id=123).
+Prints one JSON line with wall time, docs/sec, and the manifest
+lineage summary.
 
 Package engine.zip with:  python -m zipfile -c engine.zip engine/
 """
@@ -27,7 +31,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--corpus", help="parquet path of the corpus")
+    ap.add_argument("--corpus",
+                    help="parquet path or catalog table id of the corpus")
+    ap.add_argument("--langs", help="comma-separated lang filter")
+    ap.add_argument("--reader-option", action="append", default=[],
+                    metavar="K=V", help="reader option (repeatable)")
     ap.add_argument("--sf", help="driver testdata scale factor, e.g. 0.1")
     ap.add_argument("--gen", type=int, help="synthesize N docs instead")
     ap.add_argument("--out", required=True)
@@ -36,7 +44,7 @@ def main() -> None:
     ap.add_argument("--hot-df", type=int, default=1 << 17)
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession, functions as F
+    from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("bm25-index-build").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -49,15 +57,15 @@ def main() -> None:
         docs = synth_corpus(spark, args.gen)
         id_col, text_col = "doc_id", "content"
     elif args.corpus:
-        docs = spark.read.parquet(args.corpus)
-        id_col = "doc_id" if "doc_id" in docs.columns else None
-        if id_col is None:
-            # derive a deterministic doc key from (repo, path, commit)
-            docs = docs.withColumn(
-                "doc_id", F.xxhash64("repo", "path", "commit")
-            )
-            id_col = "doc_id"
-        text_col = "content" if "content" in docs.columns else "text"
+        from engine.sources import corpus_text_col, read_corpus
+
+        opts = dict(kv.split("=", 1) for kv in args.reader_option)
+        docs = read_corpus(
+            spark, args.corpus, options=opts or None,
+            langs=args.langs.split(",") if args.langs else None,
+        )
+        id_col = "doc_id"
+        text_col = corpus_text_col(docs)
     else:
         docs = spark.read.parquet(f"/root/testdata/sf{args.sf}/documents.parquet")
         id_col, text_col = "doc_id", "text"

@@ -110,7 +110,12 @@ def byte_histogram(media: DataFrame, n_buckets: int = 16) -> DataFrame:
             buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
             row_idx = np.repeat(np.arange(len(payloads)), lens)
             flat = np.zeros(len(payloads) * n_buckets, dtype=np.int64)
-            np.add.at(flat, row_idx * n_buckets + (buf >> 4), 1)
+            # bucket = byte * n_buckets / 256 (== byte >> 4 for the
+            # 16-bucket default) — stays in [0, n_buckets) for ANY
+            # n_buckets, unlike a raw high-nibble which would scatter
+            # into the next row's slice when n_buckets < 16
+            bucket = (buf.astype(np.int64) * n_buckets) >> 8
+            np.add.at(flat, row_idx * n_buckets + bucket, 1)
             hists = flat.reshape(-1, n_buckets)
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"].to_numpy(),

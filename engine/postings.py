@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 import numpy as np
@@ -255,6 +256,175 @@ TID_MERGED_SCHEMA = StructType(
 )
 
 
+DECODED_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("tid", LongType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("tf", LongType(), False),
+        StructField("dl", LongType(), False),
+        StructField("bid", LongType(), False),
+    ]
+)
+
+
+def _decode_partials_fn(batches):
+    """mapInPandas: encoded partial rows (+ a `bid` precedence column)
+    -> long (tid, doc_id, tf, dl, bid) posting rows."""
+    for pdf in batches:
+        ts, ds, tfs, dls, bs = [], [], [], [], []
+        for r in pdf.itertuples(index=False):
+            d, t, dl = decode_blocked(r.doc_bytes, r.tf_bytes, r.dl_bytes,
+                                      r.doc_off, r.tf_off, r.dl_off)
+            ts.append(np.full(d.size, r.tid, dtype=np.int64))
+            bs.append(np.full(d.size, r.bid, dtype=np.int64))
+            ds.append(d); tfs.append(t); dls.append(dl)
+        if not ds:
+            continue
+        yield pd.DataFrame({
+            "tid": np.concatenate(ts), "doc_id": np.concatenate(ds),
+            "tf": np.concatenate(tfs), "dl": np.concatenate(dls),
+            "bid": np.concatenate(bs),
+        })
+
+
+def _reencode_tid_group_fn(avgdl: float):
+    """Grouped-map kernel: one (tid,) group of DECODED (doc_id, tf, dl)
+    posting rows -> one encoded partial row (tf already computed, unlike
+    _encode_tid_group_fn which counts raw occurrences)."""
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        enc = encode_blocked(pdf["doc_id"].to_numpy(np.int64),
+                             pdf["tf"].to_numpy(np.int64),
+                             pdf["dl"].to_numpy(np.int64), avgdl)
+        return pd.DataFrame(_enc_dict(key[0], len(pdf), enc))
+
+    return encode
+
+
+def dedup_stream_partials(spark: SparkSession, out_dir: str,
+                          avgdl: float) -> int:
+    """Remove duplicate docs from the stream partials before the merge.
+
+    A doc can be ingested more than once: re-dropped into the stream
+    after the batch build indexed it, or dropped in two stream
+    micro-batches. Without this pass the merge concatenates both
+    partials' posting lists, so the doc scores twice and df is inflated
+    (and, for salted hot terms, the duplicates sit in DIFFERENT merge
+    groups, so no per-group dedup can catch them). Precedence contract
+    (mirrored by refresh_stats/read_index): the BATCH version wins over
+    any stream version — an index without delete support cannot apply a
+    content update, so a re-drop is treated as idempotent re-ingest —
+    and among stream versions the LATEST micro-batch wins.
+
+    Mechanics: decode every stream partial to long posting rows tagged
+    with their micro-batch id, keep max_by(batch) per (tid, doc),
+    anti-join docs already in the batch doc_stats, re-encode into ONE
+    consolidated `shard=streamdedup` partial, and rewrite
+    doc_stats_stream to match. All dedup joins are distributed
+    (semi/anti joins + one grouped re-encode) — no driver-side sets, no
+    broadcasts, so the pass survives arbitrarily large stream backlogs.
+    Returns the number of posting rows removed (0 = nothing to do).
+    """
+    part_dir = os.path.join(out_dir, "partials")
+    tmp = os.path.join(out_dir, "_stream_dedup_tmp")
+    ds_tmp = os.path.join(out_dir, "_doc_stats_stream_tmp")
+    final = os.path.join(part_dir, "shard=streamdedup")
+    stream_shards = (
+        [s for s in os.listdir(part_dir) if s.startswith("shard=stream")]
+        if os.path.isdir(part_dir) else []
+    )
+    if not stream_shards:
+        # crash recovery: consolidation written, old shards removed,
+        # rename lost — finish the swap
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.rename(tmp, final)
+            if os.path.exists(os.path.join(ds_tmp, "_SUCCESS")):
+                shutil.rmtree(os.path.join(out_dir, "doc_stats_stream"),
+                              ignore_errors=True)
+                os.rename(ds_tmp, os.path.join(out_dir, "doc_stats_stream"))
+        return 0
+
+    sd_path = os.path.join(out_dir, "doc_stats_stream")
+    bp = os.path.join(out_dir, "doc_stats")
+    sd = spark.read.parquet(sd_path) if os.path.exists(sd_path) else None
+    # "batch wins" only applies when batch POSTINGS exist: init_stats
+    # writes doc_stats on its own (stream-only ingest runs it just for
+    # collection stats), and those docs are not batch-indexed
+    batch_ids = (spark.read.parquet(bp).select("doc_id")
+                 if os.path.exists(bp) and _batch_built(out_dir) else None)
+    n_dup_batch = 0
+    if sd is not None and batch_ids is not None:
+        n_dup_batch = (sd.select("doc_id").distinct()
+                       .join(batch_ids, "doc_id", "left_semi").count())
+    n_within = 0
+    if sd is not None:
+        n_within = sd.count() - sd.select("doc_id").distinct().count()
+    if n_dup_batch == 0 and n_within == 0:
+        return 0
+
+    parts = (
+        spark.read.option("basePath", part_dir).parquet(part_dir)
+        .where(F.col("shard").cast("string").startswith("stream"))
+        # micro-batch id from the shard dir name; the consolidated
+        # shard ("streamdedup") predates any later re-drop -> -1
+        .withColumn("bid", F.coalesce(
+            F.nullif(F.regexp_extract(F.col("shard").cast("string"),
+                                      r"stream(\d+)", 1), F.lit("")),
+            F.lit("-1")).cast("long"))
+        .select("tid", "doc_bytes", "tf_bytes", "dl_bytes",
+                "doc_off", "tf_off", "dl_off", "bid")
+    )
+    dec = parts.mapInPandas(_decode_partials_fn, DECODED_PARTIAL_SCHEMA)
+    kept = dec.groupBy("tid", "doc_id").agg(
+        F.expr("max_by(tf, bid)").alias("tf"),
+        F.expr("max_by(dl, bid)").alias("dl"),
+    )
+    if batch_ids is not None:
+        kept = kept.join(batch_ids, "doc_id", "left_anti")
+    n_before = dec.count()
+    enc = kept.groupBy("tid").applyInPandas(
+        _reencode_tid_group_fn(avgdl), STREAM_ENC_SCHEMA)
+    enc.write.mode("overwrite").parquet(tmp)
+    n_after = int(
+        spark.read.parquet(tmp).agg(F.sum("n_docs")).collect()[0][0] or 0
+    )
+
+    if sd is not None:
+        bid = (F.col("batch_id").cast("long") if "batch_id" in sd.columns
+               else F.lit(-1).cast("long"))
+        ds_new = (
+            sd.withColumn("_bid", bid)
+            .groupBy("doc_id")
+            .agg(F.expr("max_by(dl, _bid)").alias("dl"),
+                 F.expr("max_by(content_sha, _bid)").alias("content_sha"),
+                 F.lit(-1).cast("long").alias("batch_id"))
+        )
+        if batch_ids is not None:
+            ds_new = ds_new.join(batch_ids, "doc_id", "left_anti")
+        ds_new.write.mode("overwrite").parquet(ds_tmp)
+
+    # swap: drop the superseded shards, promote the consolidated one
+    for s in stream_shards:
+        shutil.rmtree(os.path.join(part_dir, s), ignore_errors=True)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+    if os.path.exists(os.path.join(ds_tmp, "_SUCCESS")):
+        shutil.rmtree(sd_path, ignore_errors=True)
+        os.rename(ds_tmp, sd_path)
+
+    manifest = load_manifest(out_dir)
+    for s in stream_shards:
+        manifest["shards"].pop(s.split("=", 1)[1], None)
+    manifest["shards"]["streamdedup"] = {
+        "status": "ok", "streaming": True,
+        "n_postings": n_after,
+        "dedup_removed": int(n_before - n_after),
+    }
+    _save_manifest(out_dir, manifest)
+    return int(n_before - n_after)
+
+
 def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest.json")
 
@@ -343,6 +513,22 @@ def init_stats(
     return manifest
 
 
+def raw_token_projection(docs: DataFrame, n_shards: int,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """The build's pre-shuffle projection: (shard, tid, doc_id, dl) —
+    fixed-width integers only, one row per token occurrence. The single
+    definition both build_index and the bench phase harness measure, so
+    the scaling numbers always describe the real build plan."""
+    shard_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    return with_tokens(docs, text_col).select(
+        shard_col.alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        F.size("tokens").cast("long").alias("dl"),
+        F.explode("tokens").alias("term"),
+    ).select("shard", F.xxhash64("term").alias("tid"), "doc_id", "dl")
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -377,12 +563,7 @@ def build_index(
         sub = corpus if len(batch) == n_shards else corpus.where(
             shard_col.isin(batch)
         )
-        raw = with_tokens(sub, text_col).select(
-            shard_col.alias("shard"),
-            F.col(id_col).alias("doc_id"),
-            F.size("tokens").cast("long").alias("dl"),
-            F.explode("tokens").alias("term"),
-        ).select("shard", F.xxhash64("term").alias("tid"), "doc_id", "dl")
+        raw = raw_token_projection(sub, n_shards, id_col, text_col)
         enc = raw.repartition("shard", "tid").mapInPandas(
             _encode_partition_fn(avgdl), TID_ENC_SCHEMA
         )
@@ -394,15 +575,21 @@ def build_index(
         )
         wall_ms = int((time.time() - t0) * 1000)
         # lineage per shard from the written partials (one small agg)
+        # a shard that received no docs writes no dir — skip it (its
+        # manifest row below records zero counts)
+        shard_paths = [
+            p for p in (os.path.join(out_dir, "partials", f"shard={s}")
+                        for s in batch)
+            if os.path.exists(p)
+        ]
         written = (
             spark.read.option("basePath", os.path.join(out_dir, "partials"))
-            .parquet(*[os.path.join(out_dir, "partials", f"shard={s}")
-                       for s in batch])
+            .parquet(*shard_paths)
             .groupBy("shard")
             .agg(F.count(F.lit(1)).alias("n_terms"),
                  F.sum("n_docs").alias("n_postings"))
             .collect()
-        )
+        ) if shard_paths else []
         stats_by_shard = {int(r["shard"]): r for r in written}
         for s in batch:
             r = stats_by_shard.get(s)
@@ -418,20 +605,55 @@ def build_index(
     return merge_partials(spark, out_dir, hot_df_threshold, n_salts)
 
 
+def _batch_built(out_dir: str) -> bool:
+    """True when at least one NON-streaming shard completed — i.e. the
+    batch build phase actually encoded postings (not just init_stats)."""
+    m = load_manifest(out_dir)
+    return any(
+        s.get("status") == "ok" and not s.get("streaming")
+        for s in m["shards"].values()
+    )
+
+
+def _dedup_doc_stats(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Union batch + stream doc stats, one row per doc under the
+    dedup_stream_partials precedence: the batch version wins when batch
+    postings exist (else the stream version is the indexed one), then
+    the latest stream micro-batch. One grouped max_by — no window."""
+    bp = os.path.join(out_dir, "doc_stats")
+    sp = os.path.join(out_dir, "doc_stats_stream")
+    parts = []
+    if os.path.exists(bp):
+        parts.append(
+            spark.read.parquet(bp).select(
+                "doc_id", "dl", "content_sha",
+                F.lit(1 if _batch_built(out_dir) else 0).alias("_pri"),
+                F.lit(-1).cast("long").alias("_bid"))
+        )
+    if os.path.exists(sp):
+        d = spark.read.parquet(sp)
+        bid = (F.col("batch_id").cast("long") if "batch_id" in d.columns
+               else F.lit(-1).cast("long"))
+        parts.append(d.select("doc_id", "dl", "content_sha",
+                              F.lit(0).alias("_pri"), bid.alias("_bid")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return (
+        u.groupBy("doc_id")
+        .agg(F.expr("max_by(struct(dl, content_sha), struct(_pri, _bid))")
+             .alias("_s"))
+        .select("doc_id", "_s.dl", "_s.content_sha")
+    )
+
+
 def refresh_stats(spark: SparkSession, out_dir: str, manifest: dict) -> dict:
-    """Recompute n_docs/avgdl from batch + streamed doc stats (dedup by
-    doc_id: a doc may appear in both the batch build and a stream batch)
-    and rewrite stats/ + the manifest. Called at merge time so streamed
-    docs enter the collection statistics BM25 idf/avgdl reads."""
-    paths = [p for p in (os.path.join(out_dir, "doc_stats"),
-                         os.path.join(out_dir, "doc_stats_stream"))
-             if os.path.exists(p)]
-    all_ds = None
-    for p in paths:
-        d = spark.read.parquet(p).select("doc_id", "dl")
-        all_ds = d if all_ds is None else all_ds.unionAll(d)
+    """Recompute n_docs/avgdl from batch + streamed doc stats (one row
+    per doc under the batch-wins precedence) and rewrite stats/ + the
+    manifest. Called at merge time so streamed docs enter the collection
+    statistics BM25 idf/avgdl reads."""
     n_docs, avgdl = (
-        all_ds.dropDuplicates(["doc_id"])
+        _dedup_doc_stats(spark, out_dir)
         .agg(F.count(F.lit(1)), F.avg("dl"))
         .collect()[0]
     )
@@ -507,6 +729,10 @@ def merge_partials(
     if os.path.exists(os.path.join(out_dir, "doc_stats_stream")):
         manifest = refresh_stats(spark, out_dir, manifest)
     avgdl = manifest["stats"]["avgdl"]
+    # stats above and the dedup below apply the SAME precedence, so the
+    # already-refreshed n_docs/avgdl stay valid after the rewrite
+    if dedup_stream_partials(spark, out_dir, avgdl):
+        manifest = load_manifest(out_dir)  # dedup rewrote shard lineage
     t0 = time.time()
     out = merge_plan(spark, out_dir, avgdl, hot_df_threshold, n_salts)
     out.sortWithinPartitions("term").write.mode("overwrite").parquet(
@@ -521,14 +747,11 @@ def merge_partials(
 def read_index(spark: SparkSession, out_dir: str) -> dict:
     """Open a built index: postings DF + doc_stats DF + scalar stats.
     doc_stats is the dedup union of the batch table and any streamed
-    additions (a doc ingested by both paths counts once)."""
+    additions — one row per doc under the dedup_stream_partials
+    precedence (batch wins, then latest micro-batch), so it always
+    agrees with what the merged postings contain."""
     st = spark.read.parquet(os.path.join(out_dir, "stats")).collect()[0]
-    ds = spark.read.parquet(os.path.join(out_dir, "doc_stats"))
-    stream_p = os.path.join(out_dir, "doc_stats_stream")
-    if os.path.exists(stream_p):
-        ds = ds.unionAll(
-            spark.read.parquet(stream_p).select(*ds.columns)
-        ).dropDuplicates(["doc_id"])
+    ds = _dedup_doc_stats(spark, out_dir)
     return {
         "postings": spark.read.parquet(os.path.join(out_dir, "postings")),
         "doc_stats": ds,

@@ -104,6 +104,9 @@ def rp_lsh_topk(
     clusters); on isotropic random vectors no sublinear method retains
     recall — use cosine_topk there."""
     dim = len(embeddings.select(vec_col).first()[0])
+    # table-prefix digit width grows with n_tables so multiprobe bit
+    # positions stay correct at any table count (>= 100 included)
+    tw = max(2, len(str(max(n_tables - 1, 0))))
 
     def bucket_col(table: int):
         planes = _hyperplanes(dim, n_planes, table)
@@ -116,7 +119,7 @@ def rp_lsh_topk(
             )
         # fixed-width table prefix so multiprobe bit positions are
         # table-independent
-        return F.concat(F.lit(f"t{table:02d}:"), *bits)
+        return F.concat(F.lit(f"t{table:0{tw}d}:"), *bits)
 
     # ONE scan of embeddings: emit all n_tables bucket keys as an array
     # and explode — not n_tables unionAll re-scans of the source
@@ -133,7 +136,7 @@ def rp_lsh_topk(
     )
     if multiprobe >= 1:
         # probe all Hamming-distance-1 buckets: bit i of the suffix flipped
-        prefix_len = len("t00:")
+        prefix_len = 1 + tw + 1  # "t" + zero-padded table + ":"
         variants = [F.col("bucket")]
         for i in range(n_planes):
             pos = prefix_len + i + 1  # 1-based for substring

@@ -58,13 +58,19 @@ def start_incremental_index(
     survive to serving."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        tokenized = with_tokens(batch_df, text_col)
+        # three sinks consume this lineage (doc_stats, term_dict, encode);
+        # persist so the batch is tokenized once, not three times
+        tokenized = with_tokens(batch_df, text_col).persist()
         # streamed docs must enter collection stats: doc_id/dl/sha rows
         # land in doc_stats_stream and merge_partials folds them in
         (
             tokenized.select(F.col(id_col).alias("doc_id"),
                              F.size("tokens").cast("long").alias("dl"),
-                             F.sha2(F.col(text_col), 256).alias("content_sha"))
+                             F.sha2(F.col(text_col), 256).alias("content_sha"),
+                             # ingest-order precedence key: a doc re-dropped
+                             # in a LATER micro-batch supersedes earlier
+                             # stream versions at merge-dedup time
+                             F.lit(batch_id).cast("long").alias("batch_id"))
             .write.mode("append")
             .parquet(os.path.join(out_dir, "doc_stats_stream"))
         )
@@ -86,6 +92,7 @@ def start_incremental_index(
         )
         shard_path = os.path.join(out_dir, "partials", f"shard=stream{batch_id}")
         enc.write.mode("overwrite").parquet(shard_path)
+        tokenized.unpersist()
         m = load_manifest(out_dir)
         m["shards"][f"stream{batch_id}"] = {"status": "ok", "streaming": True}
         _save_manifest(out_dir, m)

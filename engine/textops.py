@@ -351,9 +351,11 @@ def bigram_field_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     qtf weighting (A3 semantics); field tf is always 1 (StringField
     values are distinct), dl = field value count, avgdl over all docs.
     Score rounded to 4dp BEFORE the rank window (cross-engine ties)."""
-    from . import B, K1
+    from .search import idf_expr, tf_part_expr
 
-    field = doc_bigram_field(docs, id_col, text_col)
+    # four consumers (count, dlb, dfb, scored join) share this expensive
+    # lineage (explode + windows + self-joins) — persist it once
+    field = doc_bigram_field(docs, id_col, text_col).persist()
     dlb = field.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlb"))
     n_docs = docs.count()
     n_values = field.count()
@@ -371,21 +373,18 @@ def bigram_field_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
         .groupBy("query_id", "bigram")
         .agg(F.count(F.lit(1)).alias("qtf"))
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
+    q = F.broadcast(
+        qb.join(dfb, "bigram").withColumn("idf", idf_expr(n_docs))
     )
-    q = F.broadcast(qb.join(dfb, "bigram").withColumn("idf", idf))
     scored = (
         field.join(q, "bigram")
         .join(dlb, "doc_id")
+        # field tf is always 1 (StringField values are distinct)
+        .withColumn("tf1", F.lit(1.0))
         .withColumn(
             "term_score",
             F.col("qtf").cast("double") * F.col("idf")
-            * F.lit(1.0 + K1)
-            / (F.lit(1.0) + F.lit(K1) * (F.lit(1.0 - B)
-               + F.lit(B) * F.col("dlb").cast("double") / F.lit(avgdl_b))),
+            * tf_part_expr(avgdl_b, tf_col="tf1", dl_col="dlb"),
         )
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("term_score"), 4).alias("score"))
