@@ -214,6 +214,33 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (k-means cells + nprobe search + exact re-rank)
+    gated on recall@5 vs brute force, same contract as the RP-LSH gate:
+    a hash-green row proves the IVF path hits the 0.8 recall target.
+
+    nprobe=6/8 because the driver embeddings are near-ISOTROPIC
+    (measured: only 3/25 true cosine neighbors share the query's label)
+    — no partitioning ANN retains recall at a low probe fraction there.
+    The structured regime IVF exists for is unit-tested separately:
+    clustered vectors reach recall 1.0 at nprobe=1
+    (tests/test_round3.py)."""
+    from engine.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = list(range(5))
+    brute = {(r.query_id, r.vec_id)
+             for r in cosine_topk(emb, query_ids=qids, k=5).collect()}
+    ivf = ivf_topk(spark, emb, query_ids=qids, k=5, n_cells=8, nprobe=6)
+    hits = sum((r.query_id, r.vec_id) in brute
+               for r in ivf.select("query_id", "vec_id").collect())
+    recall = hits / len(brute) if brute else 0.0
+    return spark.createDataFrame(
+        [(len(qids), 5, bool(recall >= ANN_RECALL_TARGET))],
+        "n_queries int, k int, recall_ge_target boolean",
+    )
+
+
 def q_bigram_field_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc bigram FIELD (LuceneIndexBuilder.java:85-92) + a BM25
     query path over it — the reference indexes the field; this serves
@@ -357,6 +384,19 @@ def q_two_hop_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = doc_entity_edges(_docs(spark, sf_dir))
     origins = spark.createDataFrame([(str(i),) for i in range(5)], ["origin"])
     return two_hop_mixture(edges, origins, n_steps=2).select(
+        "origin", "entity", F.round("prob", 6).alias("prob")
+    )
+
+
+def q_four_step_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/A4 at the reference's full walk depth: FOUR 2-hop rounds
+    (GraphAnalyzer.java:246-247 takes nSteps=4) — exact relational
+    iteration, gate-checked against a generated 7-join SQL twin."""
+    from engine.graph import doc_entity_edges, two_hop_mixture
+
+    edges = doc_entity_edges(_docs(spark, sf_dir))
+    origins = spark.createDataFrame([(str(i),) for i in range(5)], ["origin"])
+    return two_hop_mixture(edges, origins, n_steps=4).select(
         "origin", "entity", F.round("prob", 6).alias("prob")
     )
 
@@ -707,9 +747,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranklib_features": q_ranklib_features,
         "edges_adjacency": q_edges_adjacency,
         "two_hop_mixture": q_two_hop_mixture,
+        "four_step_mixture": q_four_step_mixture,
         "media_byte_histogram": q_media_byte_histogram,
         "frame_sample_plan": q_frame_sample_plan,
         "embedding_ann_recall": q_embedding_ann_recall,
+        "embedding_ivf_recall": q_embedding_ivf_recall,
         # training-data pipeline operators
         "token_counts": q_token_counts,
         "language_id": q_language_id,
@@ -893,31 +935,39 @@ mix AS (
     WHERE e.src IN ('0', '1', '2', '3', '4')
 )"""
 
-    # exact 2-step walk: origin -> e1 (1/odeg) -> d1 (1/ideg, grouped)
-    # -> e2 (1/odeg, grouped) — mirrors two_hop_mixture's per-hop
-    # groupBy-sum structure so double arithmetic agrees to 6dp
-    mixture2_cte = f"""
+    # exact n-step walk, generated per depth: origin -> e1 (1/odeg),
+    # then per extra step back to a doc (1/ideg, grouped) and forward
+    # to an entity (1/odeg, grouped) — mirrors two_hop_mixture's
+    # per-hop groupBy-sum structure so double arithmetic agrees to 6dp
+    def walk_sql(n_steps: int) -> str:
+        ctes = [f"""
 {edges_cte},
 odeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
 ideg AS (SELECT dst, count(*) AS ideg FROM edges GROUP BY dst),
-step1 AS (
+s1 AS (
     SELECT e.src AS origin, e.dst AS entity, 1.0 / o.odeg AS prob
     FROM edges e JOIN odeg o USING (src)
     WHERE e.src IN ('0', '1', '2', '3', '4')
-),
-back AS (
+)"""]
+        for i in range(2, n_steps + 1):
+            ctes.append(f"""
+b{i} AS (
     SELECT s.origin, b.src AS node, sum(s.prob * (1.0 / i.ideg)) AS prob
-    FROM step1 s JOIN edges b ON s.entity = b.dst
+    FROM s{i - 1} s JOIN edges b ON s.entity = b.dst
     JOIN ideg i ON b.dst = i.dst
     GROUP BY s.origin, b.src
 ),
-mix2 AS (
-    SELECT bk.origin, f.dst AS entity,
-           ROUND(sum(bk.prob * (1.0 / o.odeg)), 6) AS prob
-    FROM back bk JOIN edges f ON bk.node = f.src
+s{i} AS (
+    SELECT bk.origin, f.dst AS entity, sum(bk.prob * (1.0 / o.odeg)) AS prob
+    FROM b{i} bk JOIN edges f ON bk.node = f.src
     JOIN odeg o ON f.src = o.src
     GROUP BY bk.origin, f.dst
-)"""
+)""")
+        return (
+            "WITH " + ",".join(ctes)
+            + f"\nSELECT origin, entity, ROUND(prob, 6) AS prob"
+              f" FROM s{n_steps}"
+        )
 
     dists_cte = f"""
 tok AS ({_TOK}),
@@ -980,10 +1030,8 @@ q AS (SELECT term AS key, c * 1.0 / sum(c) OVER () AS prob FROM gdist)"""
                        AS neighbors
             FROM edges GROUP BY src
         """,
-        "two_hop_mixture": f"""
-            WITH {mixture2_cte}
-            SELECT origin, entity, prob FROM mix2
-        """,
+        "two_hop_mixture": walk_sql(2),
+        "four_step_mixture": walk_sql(4),
         "top_entities": f"""
             WITH {mixture_cte},
             top AS (
@@ -1296,6 +1344,9 @@ q AS (SELECT term AS key, c * 1.0 / sum(c) OVER () AS prob FROM gdist)"""
               ON c.query_id = ent.query_id AND c.doc_id = ent.doc_id
         """,
         "embedding_ann_recall": f"""
+            SELECT 5 AS n_queries, 5 AS k, true AS recall_ge_target
+        """,
+        "embedding_ivf_recall": f"""
             SELECT 5 AS n_queries, 5 AS k, true AS recall_ge_target
         """,
     }

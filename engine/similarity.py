@@ -171,6 +171,77 @@ def rp_lsh_topk(
     )
 
 
+def ivf_topk(
+    spark,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    max_iter: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, cos, rank): IVF (inverted-file) approximate
+    top-k — the second ANN scale path next to rp_lsh_topk, mirroring
+    the standard IVF-Flat layout: k-means cells, nprobe nearest cells
+    searched per query, exact cosine re-rank within candidates.
+
+    Scale shape: the centroid table is genuinely tiny (n_cells rows, a
+    hyperparameter — broadcast is CORRECT here, unlike per-term/per-doc
+    tables), so assignment is one broadcast-join pass over embeddings;
+    candidates come from a shuffle join on cell id. At 100 TB you
+    persist the assignment partitioned/sorted by cell so probing prunes
+    at the scan, and train centroids on a deterministic sample."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    base = embeddings.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).alias("vec"))
+    # spherical-kmeans approximation: cluster UNIT vectors so Euclidean
+    # cells align with cosine neighborhoods (||a-b||^2 = 2 - 2cos on
+    # the unit sphere)
+    unit = F.transform("vec", lambda x: x.cast("double") / _norm(
+        F.transform("vec", lambda y: y.cast("double"))))
+    feat = base.withColumn("features", array_to_vector(unit))
+    km = KMeans(k=n_cells, maxIter=max_iter, seed=seed)
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(
+        "vec_id", "vec", F.col("prediction").alias("cell"))
+
+    centroids = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in
+         enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    # nprobe nearest cells per query (query side is tiny: broadcast)
+    q = assigned.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"),
+                                                F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("ccos", cosine_expr(F.col("qvec"), F.col("centroid")))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", "cell")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cand.withColumn(
+        "cos", F.round(cosine_expr(F.col("qvec"), F.col("vec")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
 # ------------------------------------------------------------ oracle SQL twin
 
 def cosine_topk_sql(query_ids: list[int], k: int = 5,

@@ -133,6 +133,25 @@ def test_byte_histogram_small_bucket_count(spark):
                                    minlength=16).tolist()
 
 
+def test_ivf_recall_on_clustered_data(spark):
+    """IVF-Flat's design regime: on clustered embeddings, nprobe=1 of
+    n_cells=n_clusters retains full recall (probing 10% of the data)."""
+    from engine.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(10, 32)) * 5
+    rows = [(i, (centers[i % 10] + 0.1 * rng.normal(size=32)).tolist())
+            for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qids = [0, 1, 2, 3, 4]
+    brute = {(r.query_id, r.vec_id)
+             for r in cosine_topk(emb, query_ids=qids, k=5).collect()}
+    ivf = ivf_topk(spark, emb, query_ids=qids, k=5, n_cells=10, nprobe=1)
+    got = ivf.select("query_id", "vec_id").collect()
+    hits = sum((r.query_id, r.vec_id) in brute for r in got)
+    assert hits / len(brute) == 1.0
+
+
 def test_rp_lsh_bucket_prefix_width_many_tables(spark):
     """Table prefixes stay fixed-width (and multiprobe positions valid)
     for n_tables >= 100."""
