@@ -84,6 +84,11 @@ STREAM_ENC_SCHEMA = StructType(
 )
 
 
+DOC_STATS_SCHEMA = "doc_id long, dl long, content_sha string"
+TERM_DICT_SCHEMA = "tid long, term string"
+STREAM_DOC_STATS_SCHEMA = DOC_STATS_SCHEMA + ", batch_id long"
+
+
 def _enc_dict(tid: int, n: int, enc: dict) -> dict:
     return {
         "tid": [int(tid)],
@@ -346,11 +351,13 @@ def dedup_stream_partials(spark: SparkSession, out_dir: str,
 
     sd_path = os.path.join(out_dir, "doc_stats_stream")
     bp = os.path.join(out_dir, "doc_stats")
-    sd = spark.read.parquet(sd_path) if os.path.exists(sd_path) else None
+    sd = (spark.read.schema(STREAM_DOC_STATS_SCHEMA).parquet(sd_path)
+          if os.path.exists(sd_path) else None)
     # "batch wins" only applies when batch POSTINGS exist: init_stats
     # writes doc_stats on its own (stream-only ingest runs it just for
     # collection stats), and those docs are not batch-indexed
-    batch_ids = (spark.read.parquet(bp).select("doc_id")
+    batch_ids = (spark.read.schema(DOC_STATS_SCHEMA).parquet(bp)
+                 .select("doc_id")
                  if os.path.exists(bp) and _batch_built(out_dir) else None)
     n_dup_batch = 0
     if sd is not None and batch_ids is not None:
@@ -386,12 +393,14 @@ def dedup_stream_partials(spark: SparkSession, out_dir: str,
         _reencode_tid_group_fn(avgdl), STREAM_ENC_SCHEMA)
     enc.write.mode("overwrite").parquet(tmp)
     n_after = int(
-        spark.read.parquet(tmp).agg(F.sum("n_docs")).collect()[0][0] or 0
+        spark.read.schema(STREAM_ENC_SCHEMA).parquet(tmp)
+        .agg(F.sum("n_docs")).collect()[0][0] or 0
     )
 
     if sd is not None:
-        bid = (F.col("batch_id").cast("long") if "batch_id" in sd.columns
-               else F.lit(-1).cast("long"))
+        # forced schema: old layouts read batch_id as null -> -1
+        bid = F.coalesce(F.col("batch_id").cast("long"),
+                         F.lit(-1).cast("long"))
         ds_new = (
             sd.withColumn("_bid", bid)
             .groupBy("doc_id")
@@ -487,7 +496,7 @@ def init_stats(
     )
     tokenized.unpersist()
     collisions = (
-        spark.read.parquet(dict_path)
+        spark.read.schema(TERM_DICT_SCHEMA).parquet(dict_path)
         .groupBy("tid").agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") > 1).count()
     )
@@ -497,7 +506,7 @@ def init_stats(
             "wider term key (tid+length) before trusting this index"
         )
     n_docs, avgdl, n_tokens = (
-        spark.read.parquet(ds_path)
+        spark.read.schema(DOC_STATS_SCHEMA).parquet(ds_path)
         .agg(F.count(F.lit(1)), F.avg("dl"), F.sum("dl"))
         .collect()[0]
     )
@@ -625,15 +634,16 @@ def _dedup_doc_stats(spark: SparkSession, out_dir: str) -> DataFrame:
     parts = []
     if os.path.exists(bp):
         parts.append(
-            spark.read.parquet(bp).select(
+            spark.read.schema(DOC_STATS_SCHEMA).parquet(bp).select(
                 "doc_id", "dl", "content_sha",
                 F.lit(1 if _batch_built(out_dir) else 0).alias("_pri"),
                 F.lit(-1).cast("long").alias("_bid"))
         )
     if os.path.exists(sp):
-        d = spark.read.parquet(sp)
-        bid = (F.col("batch_id").cast("long") if "batch_id" in d.columns
-               else F.lit(-1).cast("long"))
+        # forced schema: old layouts without batch_id read it as null
+        d = spark.read.schema(STREAM_DOC_STATS_SCHEMA).parquet(sp)
+        bid = F.coalesce(F.col("batch_id").cast("long"),
+                         F.lit(-1).cast("long"))
         parts.append(d.select("doc_id", "dl", "content_sha",
                               F.lit(0).alias("_pri"), bid.alias("_bid")))
     u = parts[0]
@@ -695,7 +705,8 @@ def merge_plan(
         _merge_group_fn(avgdl), TID_MERGED_SCHEMA
     )
     # distinct: streaming batches append (possibly repeated) dict rows
-    tdict = spark.read.parquet(os.path.join(out_dir, "term_dict")).distinct()
+    tdict = spark.read.schema(TERM_DICT_SCHEMA).parquet(
+        os.path.join(out_dir, "term_dict")).distinct()
     return (
         merged.join(dfs, "tid")
         .join(tdict, "tid")
@@ -734,6 +745,27 @@ def merge_partials(
     if dedup_stream_partials(spark, out_dir, avgdl):
         manifest = load_manifest(out_dir)  # dedup rewrote shard lineage
     t0 = time.time()
+    part_root = os.path.join(out_dir, "partials")
+    has_partials = os.path.isdir(part_root) and any(
+        s.startswith("shard=") for s in os.listdir(part_root))
+    if not has_partials:
+        # empty corpus: no partial was ever written (the dir may exist
+        # but hold no shard subdirs) — materialize an empty postings
+        # table with the serving schema so read_index / search over a
+        # 0-doc index work instead of failing schema inference
+        fields = ([StructField("term", StringType(), False)]
+                  + [f for f in TID_MERGED_SCHEMA.fields if f.name != "salt"]
+                  + [StructField("salt", IntegerType(), False),
+                     StructField("df", LongType(), False)])
+        spark.createDataFrame([], StructType(fields)).select(
+            "term", "tid", "salt", "df", "n_docs", "doc_bytes", "tf_bytes",
+            "dl_bytes", "block_last", "block_max", "doc_off", "tf_off",
+            "dl_off",
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
+        manifest["merged"] = True
+        manifest["merge_wall_ms"] = int((time.time() - t0) * 1000)
+        _save_manifest(out_dir, manifest)
+        return manifest
     out = merge_plan(spark, out_dir, avgdl, hot_df_threshold, n_salts)
     out.sortWithinPartitions("term").write.mode("overwrite").parquet(
         os.path.join(out_dir, "postings")

@@ -111,6 +111,27 @@ def test_stream_dedup_across_salted_hot_groups(spark, tmp_path_factory):
     assert len({r.doc_id for r in res}) == len(res)  # no duplicate docs
 
 
+@pytest.mark.parametrize("rows", [[], [(0, "hello world")]],
+                         ids=["empty", "one-doc"])
+def test_degenerate_corpus_builds_and_serves(spark, tmp_path, rows):
+    """An empty or single-doc corpus must build, merge, open, and serve
+    (empty corpus used to fail parquet schema inference at merge; a
+    doc-less shard used to crash the lineage aggregate)."""
+    from engine.csearch import search_index
+    from engine.postings import build_index, read_index
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "idx")
+    build_index(spark, docs, out, n_shards=2, hot_df_threshold=10**9,
+                n_salts=2)
+    idx = read_index(spark, out)
+    assert idx["n_docs"] == len(rows)
+    qs = spark.createDataFrame([("q0", "hello")],
+                               "query_id string, query string")
+    res = search_index(spark, idx, qs, k=5).collect()
+    assert len(res) == len(rows)
+
+
 def test_byte_histogram_small_bucket_count(spark):
     """n_buckets < 16 must clamp buckets (code-review finding: high
     nibble >= n_buckets scattered into the next row / past the buffer)."""
