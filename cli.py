@@ -1,0 +1,314 @@
+"""Reference-parity CLI: the subcommand surface of the reference's
+`Main.java:25-140` (`index`, `query`, `graph_builder`, `ranklib_query`,
+`ranklib_trainer`, `stats`, `linker`) re-expressed over the Spark
+engine. Thin glue only — every subcommand calls the same engine
+functions the driver contract gates.
+
+    spark-submit --master local[32] --py-files engine.zip cli.py \
+        index --corpus /data/corpus --out /data/idx
+    spark-submit ... cli.py query --index /data/idx --query "spark merge" --k 10
+    spark-submit ... cli.py query --index /data/idx --run-out run.txt
+    spark-submit ... cli.py stats --index /data/idx
+    spark-submit ... cli.py graph_builder --sf 0.01 --out /data/edges
+    spark-submit ... cli.py ranklib_query --sf 0.01 --run-out rerank_run.txt
+    spark-submit ... cli.py ranklib_trainer --sf 0.01 --out features.txt
+
+Corpus inputs accept --corpus (parquet path OR catalog table id, see
+engine/sources.py), --sf N (driver testdata), or --gen N (synthesized).
+Package engine.zip with:  python -m zipfile -c engine.zip engine/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark(app: str):
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.builder.appName(app).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    return s
+
+
+def _add_corpus_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--corpus", help="parquet path or catalog table id")
+    p.add_argument("--sf", help="driver testdata scale factor, e.g. 0.01")
+    p.add_argument("--gen", type=int, help="synthesize N docs")
+    p.add_argument("--langs", help="comma-separated lang filter")
+    p.add_argument("--reader-option", action="append", default=[],
+                   metavar="K=V")
+
+
+def _load_corpus(spark, args):
+    """-> (docs, id_col, text_col)"""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    if args.gen:
+        from engine.corpusgen import synth_corpus
+
+        return synth_corpus(spark, args.gen), "doc_id", "content"
+    if args.corpus:
+        from engine.sources import corpus_text_col, read_corpus
+
+        opts = dict(kv.split("=", 1) for kv in args.reader_option)
+        docs = read_corpus(
+            spark, args.corpus, options=opts or None,
+            langs=args.langs.split(",") if args.langs else None)
+        return docs, "doc_id", corpus_text_col(docs)
+    if args.sf:
+        docs = spark.read.parquet(
+            f"/root/testdata/sf{args.sf}/documents.parquet")
+        return docs, "doc_id", "text"
+    raise SystemExit("one of --corpus / --sf / --gen is required")
+
+
+def _load_queries(spark, args):
+    from engine.queries_set import queries_df
+
+    if getattr(args, "query", None):
+        return spark.createDataFrame([("q0", args.query)],
+                                     "query_id string, query string")
+    if getattr(args, "queries", None):
+        return spark.read.parquet(args.queries)
+    return queries_df(spark)
+
+
+def cmd_index(args) -> None:
+    """Reference `index` (Main.java:30-38 -> LuceneIndexBuilder)."""
+    import time
+
+    from engine.postings import build_index, load_manifest
+
+    spark = _spark("cli-index")
+    docs, id_col, text_col = _load_corpus(spark, args)
+    n = docs.count()
+    t0 = time.time()
+    build_index(spark, docs, args.out, n_shards=args.shards,
+                hot_df_threshold=args.hot_df, n_salts=args.salts,
+                id_col=id_col, text_col=text_col)
+    wall = time.time() - t0
+    m = load_manifest(args.out)
+    print(json.dumps({
+        "n_docs": n, "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n / wall, 1) if wall else None,
+        "shards_ok": sum(1 for s in m["shards"].values()
+                         if s["status"] == "ok"),
+        "merged": m["merged"],
+    }))
+
+
+def _write_run(res, path: str, tag: str) -> int:
+    """A TREC run file is a small trec_eval-consumed artifact (queries x
+    k rows) — collect and write ONE real file, not a Spark text dir."""
+    from engine.runfile import trec_lines
+
+    rows = trec_lines(res.orderBy("query_id", "rank"), tag).collect()
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(r.line + "\n")
+    return len(rows)
+
+
+def cmd_query(args) -> None:
+    """Reference `query` (Main.java:41-61 -> LuceneQueryBuilder): BM25
+    top-k over a built index; prints results or writes a TREC run
+    file."""
+    from engine.csearch import search_index
+    from engine.postings import read_index
+
+    spark = _spark("cli-query")
+    idx = read_index(spark, args.index)
+    res = search_index(spark, idx, _load_queries(spark, args), k=args.k)
+    if args.run_out:
+        n = _write_run(res, args.run_out, args.tag)
+        print(json.dumps({"run_file": args.run_out, "rows": n}))
+    else:
+        for r in res.orderBy("query_id", "rank").collect():
+            print(f"{r.query_id}\t{r.rank}\t{r.doc_id}\t{r.score}")
+
+
+def cmd_stats(args) -> None:
+    """Reference `stats` (Main.java:133-137 -> KotlinStatsParser)."""
+    from engine.postings import load_manifest, read_index
+
+    spark = _spark("cli-stats")
+    idx = read_index(spark, args.index)
+    m = load_manifest(args.index)
+    print(json.dumps({
+        "n_docs": idx["n_docs"], "avgdl": idx["avgdl"],
+        "n_terms": idx["postings"].select("tid").distinct().count(),
+        "n_posting_rows": idx["postings"].count(),
+        "shards": len(m["shards"]), "merged": m["merged"],
+    }))
+
+
+def cmd_graph_builder(args) -> None:
+    """Reference `graph_builder` (Main.java:81-86 -> KotlinGraphBuilder):
+    build the doc<->entity edge table."""
+    from engine.graph import doc_entity_edges
+
+    spark = _spark("cli-graph")
+    docs, id_col, text_col = _load_corpus(spark, args)
+    edges = doc_entity_edges(docs, id_col=id_col, text_col=text_col)
+    edges.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"edges": edges.count(), "out": args.out}))
+
+
+def cmd_ranklib_query(args) -> None:
+    """Reference `ranklib_query` (Main.java:89-107): z-score weighted
+    BM25+LM mixture rerank (KotlinRankLibTrainer.kt:195-196 weights),
+    written as a TREC run file."""
+    from pyspark.sql import Window, functions as F
+
+    from engine.indexer import collection_stats, doc_stats, postings_long
+    from engine.rerank import lm_scores, zscore_norm
+    from engine.search import bm25_scores, query_term_freqs
+
+    spark = _spark("cli-ranklib-query")
+    docs, id_col, text_col = _load_corpus(spark, args)
+    qs = _load_queries(spark, args)
+    pl = postings_long(docs, id_col=id_col, text_col=text_col)
+    ds = doc_stats(docs, id_col=id_col, text_col=text_col)
+    n_docs, avgdl = collection_stats(ds).collect()[0]
+    total_tokens = ds.agg(F.sum("dl")).collect()[0][0] or 0
+    qt = query_term_freqs(qs)
+    bm = bm25_scores(qt, pl, ds, n_docs, avgdl).withColumnRenamed(
+        "score", "bm25")
+    jm = lm_scores(qt, pl, ds, total_tokens,
+                   kind="jelinek_mercer").withColumnRenamed("score", "lm_jm")
+    feats = bm.join(jm, ["query_id", "doc_id"], "left").na.fill({"lm_jm": 0.0})
+    feats = zscore_norm(feats, "bm25", out_col="bm25_z")
+    feats = zscore_norm(feats, "lm_jm", out_col="lm_jm_z")
+    feats = feats.withColumn(
+        "score", F.round(F.col("bm25_z") * 0.9703
+                         + F.col("lm_jm_z") * 0.0297, 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("doc_id"))
+    res = (feats.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= args.k)
+           .select("query_id", "doc_id", "score", "rank"))
+    n = _write_run(res, args.run_out, args.tag)
+    print(json.dumps({"run_file": args.run_out, "rows": n}))
+
+
+def cmd_ranklib_trainer(args) -> None:
+    """Reference `ranklib_trainer` (Main.java:110-129): write the
+    RankLib training file (qrel label + feature vector per candidate).
+    Training itself runs the external RankLib jar in the reference —
+    same here (the file is its input)."""
+    from pyspark.sql import functions as F
+
+    from engine.parity import qrel_flags, read_qrels, synthetic_qrels
+    from engine.csearch import search_index  # noqa: F401
+    from engine.indexer import collection_stats, doc_stats, postings_long
+    from engine.features import entity_query_scores, section_split_scores
+    from engine.rerank import lm_scores
+    from engine.runfile import ranklib_lines
+    from engine.search import bm25_scores, query_term_freqs, topk
+
+    spark = _spark("cli-ranklib-trainer")
+    docs, id_col, text_col = _load_corpus(spark, args)
+    qs = _load_queries(spark, args)
+    pl = postings_long(docs, id_col=id_col, text_col=text_col)
+    ds = doc_stats(docs, id_col=id_col, text_col=text_col)
+    n_docs, avgdl = collection_stats(ds).collect()[0]
+    total_tokens = ds.agg(F.sum("dl")).collect()[0][0] or 0
+    qt = query_term_freqs(qs)
+    bm = bm25_scores(qt, pl, ds, n_docs, avgdl)
+    cand = topk(bm, k=args.k).select("query_id", "doc_id", "score")
+    jm = lm_scores(qt, pl, ds, total_tokens,
+                   kind="jelinek_mercer").withColumnRenamed("score", "lm_jm")
+    sec = section_split_scores(qs, cand, pl, ds, n_docs, avgdl)
+    ent = entity_query_scores(qs, cand, pl, ds, n_docs, avgdl)
+    feats = (cand.join(jm, ["query_id", "doc_id"], "left")
+             .join(sec, ["query_id", "doc_id"], "left")
+             .join(ent, ["query_id", "doc_id"], "left")
+             .na.fill(0.0))
+    qr = (read_qrels(spark, args.qrels) if args.qrels
+          else synthetic_qrels(docs, qs))
+    flagged = qrel_flags(feats, qr).withColumn(
+        "rel", F.col("is_relevant").cast("int"))
+    fcols = [c for c in feats.columns
+             if c not in ("query_id", "doc_id")]
+    lines = ranklib_lines(flagged, fcols, rel_col="rel")
+    with open(args.out, "w") as fh:
+        for r in lines.collect():
+            fh.write(r.line + "\n")
+    print(json.dumps({"training_file": args.out, "features": fcols,
+                      "rows": lines.count()}))
+
+
+def cmd_linker(args) -> None:
+    """Reference `linker` (Main.java:67-77 -> EntityLinker.java:23-44)
+    POSTs paragraph text to a DBpedia Spotlight HTTP service — an
+    external dependency deliberately out of scope (SURVEY §2, T12).
+    The graph path's URL-suffix entity extraction (engine/parity.py
+    url_suffix) covers the in-corpus equivalent."""
+    raise SystemExit(
+        "linker: out of scope — needs the external DBpedia Spotlight "
+        "service the reference POSTs to (EntityLinker.java:23-44). "
+        "Use `graph_builder` for in-corpus doc<->entity edges."
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="cli.py", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("index")
+    _add_corpus_args(p)
+    p.add_argument("--out", required=True)
+    p.add_argument("--shards", type=int, default=8)
+    p.add_argument("--salts", type=int, default=8)
+    p.add_argument("--hot-df", type=int, default=1 << 17)
+    p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser("query")
+    p.add_argument("--index", required=True)
+    p.add_argument("--query", help="single ad-hoc query string")
+    p.add_argument("--queries", help="parquet of (query_id, query)")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--run-out", help="write a TREC run file here")
+    p.add_argument("--tag", default="spark-bm25")
+    p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("stats")
+    p.add_argument("--index", required=True)
+    p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser("graph_builder")
+    _add_corpus_args(p)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_graph_builder)
+
+    p = sub.add_parser("ranklib_query")
+    _add_corpus_args(p)
+    p.add_argument("--queries", help="parquet of (query_id, query)")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--run-out", required=True)
+    p.add_argument("--tag", default="spark-ranklib")
+    p.set_defaults(fn=cmd_ranklib_query)
+
+    p = sub.add_parser("ranklib_trainer")
+    _add_corpus_args(p)
+    p.add_argument("--queries", help="parquet of (query_id, query)")
+    p.add_argument("--qrels", help="TREC qrels file (else synthetic)")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_ranklib_trainer)
+
+    p = sub.add_parser("linker")
+    p.set_defaults(fn=cmd_linker)
+
+    args = ap.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

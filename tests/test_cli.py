@@ -1,0 +1,61 @@
+"""cli.py — the reference Main.java subcommand surface as thin glue."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import pytest
+
+import cli
+
+
+def _run(capsys, *argv):
+    old = sys.argv
+    sys.argv = ["cli.py", *argv]
+    try:
+        cli.main()
+    finally:
+        sys.argv = old
+    return capsys.readouterr().out.strip().splitlines()
+
+
+def test_cli_index_stats_query_roundtrip(spark, tmp_path, capsys):
+    idx = str(tmp_path / "idx")
+    out = _run(capsys, "index", "--sf", "0.001", "--out", idx,
+               "--shards", "2", "--salts", "2")
+    built = json.loads(out[-1])
+    assert built["n_docs"] == 500 and built["merged"]
+
+    out = _run(capsys, "stats", "--index", idx)
+    st = json.loads(out[-1])
+    assert st["n_docs"] == 500 and st["merged"]
+
+    out = _run(capsys, "query", "--index", idx, "--query",
+               "merge row batch", "--k", "5")
+    assert len(out) == 5 and out[0].split("\t")[1] == "1"
+
+    run = str(tmp_path / "run.txt")
+    _run(capsys, "query", "--index", idx, "--run-out", run, "--k", "5")
+    lines = open(run).read().splitlines()
+    # every query contributes up to k rows (some match fewer docs)
+    assert 0 < len(lines) <= 250
+    assert len({ln.split()[0] for ln in lines}) >= 45
+    assert lines[0].split()[1] == "Q0" and lines[0].split()[5] == "spark-bm25"
+
+
+def test_cli_ranklib_trainer_file_shape(spark, tmp_path, capsys):
+    feat = str(tmp_path / "feat.txt")
+    out = _run(capsys, "ranklib_trainer", "--sf", "0.001", "--out", feat,
+               "--k", "5")
+    meta = json.loads(out[-1])
+    assert 0 < meta["rows"] <= 250
+    first = open(feat).readline().split()
+    # "<rel> qid:<id> 1:v .. 7:v # <doc>"
+    assert first[0] in ("0", "1") and first[1].startswith("qid:")
+    assert first[2].startswith("1:") and first[9] == "#"
+
+
+def test_cli_linker_out_of_scope(spark):
+    with pytest.raises(SystemExit, match="out of scope"):
+        cli.cmd_linker(None)
