@@ -59,6 +59,9 @@ def main() -> None:
     elif args.corpus:
         from engine.sources import corpus_text_col, read_corpus
 
+        bad = [kv for kv in args.reader_option if "=" not in kv]
+        if bad:
+            raise SystemExit(f"--reader-option must be K=V, got: {bad}")
         opts = dict(kv.split("=", 1) for kv in args.reader_option)
         docs = read_corpus(
             spark, args.corpus, options=opts or None,

@@ -56,6 +56,9 @@ def _load_corpus(spark, args):
     if args.corpus:
         from engine.sources import corpus_text_col, read_corpus
 
+        bad = [kv for kv in args.reader_option if "=" not in kv]
+        if bad:
+            raise SystemExit(f"--reader-option must be K=V, got: {bad}")
         opts = dict(kv.split("=", 1) for kv in args.reader_option)
         docs = read_corpus(
             spark, args.corpus, options=opts or None,
@@ -236,12 +239,12 @@ def cmd_ranklib_trainer(args) -> None:
         "rel", F.col("is_relevant").cast("int"))
     fcols = [c for c in feats.columns
              if c not in ("query_id", "doc_id")]
-    lines = ranklib_lines(flagged, fcols, rel_col="rel")
+    rows = ranklib_lines(flagged, fcols, rel_col="rel").collect()
     with open(args.out, "w") as fh:
-        for r in lines.collect():
+        for r in rows:
             fh.write(r.line + "\n")
     print(json.dumps({"training_file": args.out, "features": fcols,
-                      "rows": lines.count()}))
+                      "rows": len(rows)}))
 
 
 def cmd_linker(args) -> None:

@@ -334,19 +334,30 @@ def dedup_stream_partials(spark: SparkSession, out_dir: str,
     tmp = os.path.join(out_dir, "_stream_dedup_tmp")
     ds_tmp = os.path.join(out_dir, "_doc_stats_stream_tmp")
     final = os.path.join(part_dir, "shard=streamdedup")
+
+    # crash recovery (journaled swap): a pending entry in the manifest
+    # means the consolidated output was fully written but the
+    # rmtree+rename swap may have been interrupted anywhere — finish it
+    # before looking at what remains on disk.
+    manifest = load_manifest(out_dir)
+    pending = manifest.get("stream_dedup_pending")
+    if pending and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        _finish_dedup_swap(out_dir, part_dir, tmp, ds_tmp, final,
+                           pending["shards"], pending["n_postings"],
+                           pending["removed"])
+    elif pending:
+        # journal entry without a complete tmp: the consolidation write
+        # itself was interrupted — nothing was deleted yet, clear it
+        manifest.pop("stream_dedup_pending", None)
+        _save_manifest(out_dir, manifest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(ds_tmp, ignore_errors=True)
+
     stream_shards = (
         [s for s in os.listdir(part_dir) if s.startswith("shard=stream")]
         if os.path.isdir(part_dir) else []
     )
     if not stream_shards:
-        # crash recovery: consolidation written, old shards removed,
-        # rename lost — finish the swap
-        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
-            os.rename(tmp, final)
-            if os.path.exists(os.path.join(ds_tmp, "_SUCCESS")):
-                shutil.rmtree(os.path.join(out_dir, "doc_stats_stream"),
-                              ignore_errors=True)
-                os.rename(ds_tmp, os.path.join(out_dir, "doc_stats_stream"))
         return 0
 
     sd_path = os.path.join(out_dir, "doc_stats_stream")
@@ -382,9 +393,18 @@ def dedup_stream_partials(spark: SparkSession, out_dir: str,
                 "doc_off", "tf_off", "dl_off", "bid")
     )
     dec = parts.mapInPandas(_decode_partials_fn, DECODED_PARTIAL_SCHEMA)
-    kept = dec.groupBy("tid", "doc_id").agg(
-        F.expr("max_by(tf, bid)").alias("tf"),
-        F.expr("max_by(dl, bid)").alias("dl"),
+    # "latest micro-batch wins" must hold at the DOCUMENT level, not
+    # per (tid, doc): a per-term max_by would keep ghost terms that the
+    # winning version no longer contains. Pick each doc's winning batch
+    # first, then keep only that batch's rows for the doc.
+    win = dec.groupBy("doc_id").agg(F.max("bid").alias("_wbid"))
+    kept = (
+        dec.join(win, "doc_id")
+        .where(F.col("bid") == F.col("_wbid"))
+        # defensive: a doc duplicated WITHIN one micro-batch still
+        # collapses to one posting per term
+        .groupBy("tid", "doc_id")
+        .agg(F.max("tf").alias("tf"), F.max("dl").alias("dl"))
     )
     if batch_ids is not None:
         kept = kept.join(batch_ids, "doc_id", "left_anti")
@@ -412,26 +432,45 @@ def dedup_stream_partials(spark: SparkSession, out_dir: str,
             ds_new = ds_new.join(batch_ids, "doc_id", "left_anti")
         ds_new.write.mode("overwrite").parquet(ds_tmp)
 
-    # swap: drop the superseded shards, promote the consolidated one
-    for s in stream_shards:
-        shutil.rmtree(os.path.join(part_dir, s), ignore_errors=True)
-    if os.path.exists(final):
-        shutil.rmtree(final)
-    os.rename(tmp, final)
-    if os.path.exists(os.path.join(ds_tmp, "_SUCCESS")):
-        shutil.rmtree(sd_path, ignore_errors=True)
-        os.rename(ds_tmp, sd_path)
-
+    # journal THEN swap: once the journal entry is durable, any crash
+    # inside the rmtree/rename sequence is finished by the recovery
+    # branch above (the consolidated tmp supersedes every listed shard,
+    # so re-deleting/renaming is idempotent)
+    removed = int(n_before - n_after)
     manifest = load_manifest(out_dir)
-    for s in stream_shards:
+    manifest["stream_dedup_pending"] = {
+        "shards": stream_shards, "n_postings": n_after, "removed": removed,
+    }
+    _save_manifest(out_dir, manifest)
+    _finish_dedup_swap(out_dir, part_dir, tmp, ds_tmp, final,
+                       stream_shards, n_after, removed)
+    return removed
+
+
+def _finish_dedup_swap(out_dir: str, part_dir: str, tmp: str, ds_tmp: str,
+                       final: str, shards: list[str], n_postings: int,
+                       removed: int) -> None:
+    """The (re-runnable) second half of dedup_stream_partials: delete
+    superseded stream shards, promote the consolidated partial and doc
+    stats, update lineage, clear the journal entry."""
+    for s in shards:
+        shutil.rmtree(os.path.join(part_dir, s), ignore_errors=True)
+    if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        os.rename(tmp, final)
+    if os.path.exists(os.path.join(ds_tmp, "_SUCCESS")):
+        shutil.rmtree(os.path.join(out_dir, "doc_stats_stream"),
+                      ignore_errors=True)
+        os.rename(ds_tmp, os.path.join(out_dir, "doc_stats_stream"))
+    manifest = load_manifest(out_dir)
+    for s in shards:
         manifest["shards"].pop(s.split("=", 1)[1], None)
     manifest["shards"]["streamdedup"] = {
         "status": "ok", "streaming": True,
-        "n_postings": n_after,
-        "dedup_removed": int(n_before - n_after),
+        "n_postings": n_postings,
+        "dedup_removed": removed,
     }
+    manifest.pop("stream_dedup_pending", None)
     _save_manifest(out_dir, manifest)
-    return int(n_before - n_after)
 
 
 def _manifest_path(out_dir: str) -> str:

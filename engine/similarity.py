@@ -201,10 +201,16 @@ def ivf_topk(
                              F.col(vec_col).alias("vec"))
     # spherical-kmeans approximation: cluster UNIT vectors so Euclidean
     # cells align with cosine neighborhoods (||a-b||^2 = 2 - 2cos on
-    # the unit sphere)
-    unit = F.transform("vec", lambda x: x.cast("double") / _norm(
-        F.transform("vec", lambda y: y.cast("double"))))
-    feat = base.withColumn("features", array_to_vector(unit))
+    # the unit sphere). Norm computed ONCE per row (not inside the
+    # per-element lambda); zero vectors map to the origin instead of
+    # NaN features (which KMeans.fit rejects)
+    withn = base.withColumn(
+        "_nrm", _norm(F.transform("vec", lambda y: y.cast("double"))))
+    unit = F.when(
+        F.col("_nrm") > 0,
+        F.transform("vec", lambda x: x.cast("double") / F.col("_nrm")),
+    ).otherwise(F.transform("vec", lambda x: F.lit(0.0)))
+    feat = withn.withColumn("features", array_to_vector(unit)).drop("_nrm")
     km = KMeans(k=n_cells, maxIter=max_iter, seed=seed)
     model = km.fit(feat)
     assigned = model.transform(feat).select(

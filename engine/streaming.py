@@ -61,38 +61,47 @@ def start_incremental_index(
         # three sinks consume this lineage (doc_stats, term_dict, encode);
         # persist so the batch is tokenized once, not three times
         tokenized = with_tokens(batch_df, text_col).persist()
-        # streamed docs must enter collection stats: doc_id/dl/sha rows
-        # land in doc_stats_stream and merge_partials folds them in
-        (
-            tokenized.select(F.col(id_col).alias("doc_id"),
-                             F.size("tokens").cast("long").alias("dl"),
-                             F.sha2(F.col(text_col), 256).alias("content_sha"),
-                             # ingest-order precedence key: a doc re-dropped
-                             # in a LATER micro-batch supersedes earlier
-                             # stream versions at merge-dedup time
-                             F.lit(batch_id).cast("long").alias("batch_id"))
-            .write.mode("append")
-            .parquet(os.path.join(out_dir, "doc_stats_stream"))
-        )
-        raw = (
-            tokenized
-            .select(F.col(id_col).alias("doc_id"),
+        try:
+            # streamed docs must enter collection stats: doc_id/dl/sha
+            # rows land in doc_stats_stream; merge_partials folds them in
+            (
+                tokenized.select(
+                    F.col(id_col).alias("doc_id"),
                     F.size("tokens").cast("long").alias("dl"),
-                    F.explode("tokens").alias("term"))
-        )
-        # newly-seen terms extend the dictionary (dedup at merge read)
-        (
-            raw.select(F.xxhash64("term").alias("tid"), "term").distinct()
-            .write.mode("append").parquet(os.path.join(out_dir, "term_dict"))
-        )
-        enc = (
-            raw.select(F.xxhash64("term").alias("tid"), "doc_id", "dl")
-            .groupBy("tid")
-            .applyInPandas(_encode_tid_group_fn(avgdl_hint), STREAM_ENC_SCHEMA)
-        )
-        shard_path = os.path.join(out_dir, "partials", f"shard=stream{batch_id}")
-        enc.write.mode("overwrite").parquet(shard_path)
-        tokenized.unpersist()
+                    F.sha2(F.col(text_col), 256).alias("content_sha"),
+                    # ingest-order precedence key: a doc re-dropped in a
+                    # LATER micro-batch supersedes earlier stream
+                    # versions at merge-dedup time
+                    F.lit(batch_id).cast("long").alias("batch_id"))
+                .write.mode("append")
+                .parquet(os.path.join(out_dir, "doc_stats_stream"))
+            )
+            raw = (
+                tokenized
+                .select(F.col(id_col).alias("doc_id"),
+                        F.size("tokens").cast("long").alias("dl"),
+                        F.explode("tokens").alias("term"))
+            )
+            # newly-seen terms extend the dictionary (dedup at merge)
+            (
+                raw.select(F.xxhash64("term").alias("tid"), "term")
+                .distinct()
+                .write.mode("append")
+                .parquet(os.path.join(out_dir, "term_dict"))
+            )
+            enc = (
+                raw.select(F.xxhash64("term").alias("tid"), "doc_id", "dl")
+                .groupBy("tid")
+                .applyInPandas(_encode_tid_group_fn(avgdl_hint),
+                               STREAM_ENC_SCHEMA)
+            )
+            shard_path = os.path.join(out_dir, "partials",
+                                      f"shard=stream{batch_id}")
+            enc.write.mode("overwrite").parquet(shard_path)
+        finally:
+            # release even when a sink write fails — a retried batch
+            # must not leak a cached copy per attempt
+            tokenized.unpersist()
         m = load_manifest(out_dir)
         m["shards"][f"stream{batch_id}"] = {"status": "ok", "streaming": True}
         _save_manifest(out_dir, m)

@@ -354,8 +354,11 @@ def bigram_field_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     from .search import idf_expr, tf_part_expr
 
     # four consumers (count, dlb, dfb, scored join) share this expensive
-    # lineage (explode + windows + self-joins) — persist it once
-    field = doc_bigram_field(docs, id_col, text_col).persist()
+    # lineage (explode + windows + self-joins) — materialize it once.
+    # localCheckpoint, not persist: there is no post-return point to
+    # unpersist at, and the checkpointed blocks are GC'd with the
+    # DataFrame instead of pinning executor storage forever
+    field = doc_bigram_field(docs, id_col, text_col).localCheckpoint()
     dlb = field.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlb"))
     n_docs = docs.count()
     n_values = field.count()

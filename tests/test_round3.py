@@ -111,6 +111,45 @@ def test_stream_dedup_across_salted_hot_groups(spark, tmp_path_factory):
     assert len({r.doc_id for r in res}) == len(res)  # no duplicate docs
 
 
+def test_stream_redrop_latest_version_wins_whole_doc(spark,
+                                                     tmp_path_factory):
+    """A doc re-dropped across stream micro-batches with DIFFERENT
+    content must be replaced as a whole document: terms only in the
+    superseded version must vanish from the merged postings (a per-term
+    max_by would keep them as ghosts)."""
+    from engine.postings import build_index, read_index
+
+    from engine.postings import merge_partials
+    from engine.streaming import start_incremental_index
+
+    out = str(tmp_path_factory.mktemp("ghost_idx"))
+    drop = str(tmp_path_factory.mktemp("ghost_in")) + "/drop"
+    batch = spark.createDataFrame(
+        [(1, "anchor doc", "en", "s", 10)], DOC_SCHEMA)
+    build_index(spark, batch, out, n_shards=2, hot_df_threshold=10**9,
+                n_salts=2, id_col="doc_id", text_col="text")
+    # batch 0: doc 7 = "apple banana"; later re-drop (new file in the
+    # SAME watched dir): doc 7 = "apple cherry" -> banana must
+    # disappear, cherry must appear
+    spark.createDataFrame([(7, "apple banana", "en", "s", 12)],
+                          DOC_SCHEMA).write.parquet(drop)
+    start_incremental_index(spark, drop, out,
+                            avgdl_hint=3.0).awaitTermination(120)
+    spark.createDataFrame([(7, "apple cherry", "en", "s", 12)],
+                          DOC_SCHEMA).write.mode("append").parquet(drop)
+    start_incremental_index(spark, drop, out,
+                            avgdl_hint=3.0).awaitTermination(120)
+    merge_partials(spark, out, hot_df_threshold=10**9, n_salts=2)
+
+    terms = {r.term for r in
+             spark.read.parquet(out + "/postings").select("term").collect()}
+    assert "cherry" in terms and "banana" not in terms
+    apple = _term_rows(spark, out, "apple")
+    assert _decoded_doc_ids(apple) == [7] and apple[0].df == 1
+    idx = read_index(spark, out)
+    assert idx["n_docs"] == 2  # anchor + one version of doc 7
+
+
 @pytest.mark.parametrize("rows", [[], [(0, "hello world")]],
                          ids=["empty", "one-doc"])
 def test_degenerate_corpus_builds_and_serves(spark, tmp_path, rows):

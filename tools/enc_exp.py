@@ -63,12 +63,10 @@ def _encode_pretf_fn(avgdl, yield_rows=256):
 
 
 def occurrences(docs, n_shards=8):
-    shard = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_shards)).cast("int")
-    return with_tokens(docs, "content").select(
-        shard.alias("shard"), "doc_id",
-        F.size("tokens").cast("long").alias("dl"),
-        F.explode("tokens").alias("term"),
-    ).select("shard", F.xxhash64("term").alias("tid"), "doc_id", "dl")
+    # the SAME projection the real build measures — never a local copy
+    from engine.postings import raw_token_projection
+
+    return raw_token_projection(docs, n_shards, text_col="content")
 
 
 def runlen_tf(docs, n_shards=8):
