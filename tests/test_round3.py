@@ -10,6 +10,17 @@ from pyspark.sql import functions as F
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 
+def test_contract_roster_is_oracle_complete():
+    """Every driver-contract entry has a DuckDB oracle and vice versa;
+    the roster size is pinned so silent drops (round-1's missing
+    frame_sample_plan row) can't recur."""
+    import __spark_entry__ as e
+
+    qs, orc = e.queries(), e.oracle_sql()
+    assert set(qs) == set(orc)
+    assert len(qs) == 52
+
+
 def _stream_and_merge(spark, out, inp, rows, **merge_kw):
     from engine.postings import merge_partials
     from engine.streaming import start_incremental_index
@@ -109,6 +120,57 @@ def test_stream_dedup_across_salted_hot_groups(spark, tmp_path_factory):
                                "query_id string, query string")
     res = search_index(spark, idx, qs, k=10).collect()
     assert len({r.doc_id for r in res}) == len(res)  # no duplicate docs
+
+
+def test_dedup_swap_crash_recovery(spark, tmp_path_factory):
+    """A crash between the dedup's consolidation write and the shard
+    swap must be finished by the next merge (journaled recovery), never
+    silently dropping stream postings."""
+    import shutil
+
+    from engine.csearch import search_index
+    from engine.postings import (
+        build_index, load_manifest, merge_partials, read_index,
+        _save_manifest,
+    )
+
+    out = str(tmp_path_factory.mktemp("rec_idx"))
+    inp = str(tmp_path_factory.mktemp("rec_in"))
+    batch = spark.createDataFrame(
+        [(0, "apple banana", "en", "s", 12)], DOC_SCHEMA)
+    build_index(spark, batch, out, n_shards=2, hot_df_threshold=10**9,
+                n_salts=2, id_col="doc_id", text_col="text")
+    _stream_and_merge(spark, out, inp,
+                      [(0, "apple banana", "en", "s", 12),
+                       (5, "banana fig", "en", "s", 10)],
+                      hot_df_threshold=10**9, n_salts=2)
+
+    # simulate the crash window: consolidated output demoted back to
+    # the tmp dir, journal entry present, stale lineage rows restored
+    final = out + "/partials/shard=streamdedup"
+    tmp = out + "/_stream_dedup_tmp"
+    shutil.move(final, tmp)
+    m = load_manifest(out)
+    n_post = m["shards"]["streamdedup"]["n_postings"]
+    del m["shards"]["streamdedup"]
+    m["shards"]["stream0"] = {"status": "ok", "streaming": True}
+    m["stream_dedup_pending"] = {
+        "shards": ["shard=streamdedup", "shard=stream0"],
+        "n_postings": n_post, "removed": 0,
+    }
+    _save_manifest(out, m)
+
+    merge_partials(spark, out, hot_df_threshold=10**9, n_salts=2)
+    m = load_manifest(out)
+    assert "stream_dedup_pending" not in m
+    assert "stream0" not in m["shards"]
+    assert m["shards"]["streamdedup"]["status"] == "ok"
+    idx = read_index(spark, out)
+    assert idx["n_docs"] == 2
+    qs = spark.createDataFrame([("q0", "banana")],
+                               "query_id string, query string")
+    res = search_index(spark, idx, qs, k=10).collect()
+    assert sorted(r.doc_id for r in res) == [0, 5]
 
 
 def test_stream_redrop_latest_version_wins_whole_doc(spark,
