@@ -780,9 +780,12 @@ def merge_partials(
         manifest = refresh_stats(spark, out_dir, manifest)
     avgdl = manifest["stats"]["avgdl"]
     # stats above and the dedup below apply the SAME precedence, so the
-    # already-refreshed n_docs/avgdl stay valid after the rewrite
-    if dedup_stream_partials(spark, out_dir, avgdl):
-        manifest = load_manifest(out_dir)  # dedup rewrote shard lineage
+    # already-refreshed n_docs/avgdl stay valid after the rewrite.
+    # ALWAYS reload after it: even a 0-removed call may have finished a
+    # journaled crash recovery that rewrote the lineage — saving a stale
+    # in-memory manifest at the end of the merge would resurrect it
+    dedup_stream_partials(spark, out_dir, avgdl)
+    manifest = load_manifest(out_dir)
     t0 = time.time()
     part_root = os.path.join(out_dir, "partials")
     has_partials = os.path.isdir(part_root) and any(
