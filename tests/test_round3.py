@@ -12,13 +12,16 @@ DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long
 
 def test_contract_roster_is_oracle_complete():
     """Every driver-contract entry has a DuckDB oracle and vice versa;
-    the roster size is pinned so silent drops (round-1's missing
-    frame_sample_plan row) can't recur."""
+    the roster size is pinned AT the driver's 50-row recording cap so
+    silent drops (round-1's missing frame_sample_plan row; round-2's
+    52-entry roster losing its last two rows) can't recur. If this
+    assert fires at 51+, FOLD entries (see queries() docstring) —
+    don't bump the pin."""
     import __spark_entry__ as e
 
     qs, orc = e.queries(), e.oracle_sql()
     assert set(qs) == set(orc)
-    assert len(qs) == 52
+    assert len(qs) == 50
 
 
 def _stream_and_merge(spark, out, inp, rows, **merge_kw):
