@@ -338,17 +338,30 @@ def dedup_stream_partials(spark: SparkSession, out_dir: str,
     # crash recovery (journaled swap): a pending entry in the manifest
     # means the consolidated output was fully written but the
     # rmtree+rename swap may have been interrupted anywhere — finish it
-    # before looking at what remains on disk.
+    # before looking at what remains on disk. The journal is only
+    # written AFTER both tmp and ds_tmp completed, so with a pending
+    # entry at least one recovery artifact exists: tmp itself, ds_tmp
+    # (doc-stats half not yet promoted), or the renamed final (crash
+    # after the tmp->final rename but before the journal was cleared).
     manifest = load_manifest(out_dir)
     pending = manifest.get("stream_dedup_pending")
-    if pending and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+    recoverable = pending and (
+        os.path.exists(os.path.join(tmp, "_SUCCESS"))
+        or os.path.exists(os.path.join(ds_tmp, "_SUCCESS"))
+        or os.path.exists(os.path.join(final, "_SUCCESS"))
+    )
+    if recoverable:
         _finish_dedup_swap(out_dir, part_dir, tmp, ds_tmp, final,
                            pending["shards"], pending["n_postings"],
                            pending["removed"])
     elif pending:
-        # journal entry without a complete tmp: the consolidation write
-        # itself was interrupted — nothing was deleted yet, clear it
+        # no recovery artifact at all — unreachable under the
+        # journal-after-write invariant, kept as a defensive fallback:
+        # clear the entry, drop any half-written tmp dirs, and reconcile
+        # lineage against the shard dirs actually on disk so no
+        # status-ok row outlives its directory (ADVICE r2)
         manifest.pop("stream_dedup_pending", None)
+        _reconcile_stream_lineage(part_dir, manifest)
         _save_manifest(out_dir, manifest)
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(ds_tmp, ignore_errors=True)
@@ -450,17 +463,31 @@ def dedup_stream_partials(spark: SparkSession, out_dir: str,
 def _finish_dedup_swap(out_dir: str, part_dir: str, tmp: str, ds_tmp: str,
                        final: str, shards: list[str], n_postings: int,
                        removed: int) -> None:
-    """The (re-runnable) second half of dedup_stream_partials: delete
-    superseded stream shards, promote the consolidated partial and doc
-    stats, update lineage, clear the journal entry."""
-    for s in shards:
-        shutil.rmtree(os.path.join(part_dir, s), ignore_errors=True)
-    if os.path.exists(os.path.join(tmp, "_SUCCESS")):
-        os.rename(tmp, final)
+    """The (re-runnable) second half of dedup_stream_partials: promote
+    the consolidated doc stats, delete superseded stream shards, promote
+    the consolidated partial, update lineage, clear the journal entry.
+
+    Ordering is load-bearing for crash safety (ADVICE r2): the
+    doc-stats swap runs FIRST, while tmp/_SUCCESS still exists, so the
+    recovery marker stays alive through its destructive
+    rmtree(doc_stats_stream)+rename window — a crash inside it re-enters
+    this function (via tmp) and re-runs the swap from ds_tmp. The
+    tmp->final rename is the LAST destructive step; once it has
+    happened, the listed old consolidated shard (a previous dedup's
+    shard=streamdedup) IS the new output, so recovery excludes it from
+    the re-delete list."""
+    tmp_done = os.path.exists(os.path.join(tmp, "_SUCCESS"))
     if os.path.exists(os.path.join(ds_tmp, "_SUCCESS")):
         shutil.rmtree(os.path.join(out_dir, "doc_stats_stream"),
                       ignore_errors=True)
         os.rename(ds_tmp, os.path.join(out_dir, "doc_stats_stream"))
+    final_name = os.path.basename(final)
+    for s in shards:
+        if not tmp_done and s == final_name:
+            continue  # recovering after the rename: this IS the output
+        shutil.rmtree(os.path.join(part_dir, s), ignore_errors=True)
+    if tmp_done:
+        os.rename(tmp, final)
     manifest = load_manifest(out_dir)
     for s in shards:
         manifest["shards"].pop(s.split("=", 1)[1], None)
@@ -470,7 +497,21 @@ def _finish_dedup_swap(out_dir: str, part_dir: str, tmp: str, ds_tmp: str,
         "dedup_removed": removed,
     }
     manifest.pop("stream_dedup_pending", None)
+    _reconcile_stream_lineage(part_dir, manifest)
     _save_manifest(out_dir, manifest)
+
+
+def _reconcile_stream_lineage(part_dir: str, manifest: dict) -> None:
+    """Drop lineage rows for stream shard dirs no longer on disk. A
+    crash between a shard rmtree and the manifest update would otherwise
+    leave a status-ok row for a deleted directory forever — re-dedup
+    only lists directories actually present, so nothing else would ever
+    clean the row up (ADVICE r2). Batch shards are exempt: a batch
+    shard that received no docs legitimately has a row but no dir."""
+    for key, row in list(manifest["shards"].items()):
+        if row.get("streaming") and not os.path.isdir(
+                os.path.join(part_dir, f"shard={key}")):
+            manifest["shards"].pop(key)
 
 
 def _manifest_path(out_dir: str) -> str:

@@ -23,17 +23,27 @@ Catalyst can prune/push into, which is the Spark-first equivalent.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 #: input_hint column contract for source-code corpora
 CORPUS_COLUMNS = ("repo", "path", "commit", "lang", "content")
 
+#: explicit catalog-table marker: read_corpus("table:db.repos") never
+#: guesses — the identifier after the prefix goes straight to read.table
+TABLE_PREFIX = "table:"
+
 
 def is_table_identifier(src: str) -> bool:
-    """A catalog table identifier, not a filesystem path.
+    """Syntactically a catalog table identifier, not a filesystem path.
 
     Paths contain `/` (or a URI scheme); identifiers are dotted names
-    like `iceberg.code.repos`.
+    like `iceberg.code.repos`. NOTE: a bare relative filename
+    ('corpus.parquet') is syntactically ambiguous — read_corpus resolves
+    the ambiguity by preferring the path interpretation when the path
+    exists on the local filesystem, and callers can force either side
+    with the ``table:`` prefix or a ``./`` path prefix.
     """
     return "/" not in src and "\\" not in src and ":" not in src
 
@@ -61,10 +71,19 @@ def read_corpus(
     if options:
         for k, v in options.items():
             reader = reader.option(k, v)
-    if is_table_identifier(src):
-        df = reader.table(src)
-    else:
+    if src.startswith(TABLE_PREFIX):
+        df = reader.table(src[len(TABLE_PREFIX):])
+    elif os.path.exists(src):
+        # an existing local path wins over the table interpretation even
+        # when the name is separator-free ('corpus.parquet', 'data') —
+        # routing those to read.table fails with TABLE_OR_VIEW_NOT_FOUND.
+        # Absolutized because the JVM resolves relative paths against
+        # ITS cwd, which need not match this process's.
+        df = reader.parquet(os.path.abspath(src))
+    elif not is_table_identifier(src):
         df = reader.parquet(src)
+    else:
+        df = reader.table(src)
     if langs:
         df = df.filter(F.col("lang").isin(langs))
     if "doc_id" not in df.columns:

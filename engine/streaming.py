@@ -58,6 +58,13 @@ def start_incremental_index(
     survive to serving."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # a doc duplicated WITHIN one micro-batch would have its
+        # occurrences summed into a single doubled-tf posting by the
+        # np.unique encode kernel — a row the merge-time per-(tid, doc)
+        # dedup cannot repair (ADVICE r2). Collapse to one row per doc
+        # BEFORE tokenizing; across micro-batches the latest-batch-wins
+        # dedup in postings.dedup_stream_partials handles the rest.
+        batch_df = batch_df.dropDuplicates([id_col])
         # three sinks consume this lineage (doc_stats, term_dict, encode);
         # persist so the batch is tokenized once, not three times
         tokenized = with_tokens(batch_df, text_col).persist()
