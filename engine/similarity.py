@@ -180,6 +180,7 @@ def ivf_topk(
     nprobe: int = 2,
     max_iter: int = 10,
     seed: int = 42,
+    train_cap: int = 100_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -193,7 +194,11 @@ def ivf_topk(
     tables), so assignment is one broadcast-join pass over embeddings;
     candidates come from a shuffle join on cell id. At 100 TB you
     persist the assignment partitioned/sorted by cell so probing prunes
-    at the scan, and train centroids on a deterministic sample."""
+    at the scan. Centroids are trained on a deterministic seeded sample
+    capped at ~train_cap rows — at 10^9+ rows full-table k-means
+    iterations would dominate the whole search, and cell quality only
+    needs a representative sample; cell ASSIGNMENT still scans every
+    row exactly once."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -211,8 +216,15 @@ def ivf_topk(
         F.transform("vec", lambda x: x.cast("double") / F.col("_nrm")),
     ).otherwise(F.transform("vec", lambda x: F.lit(0.0)))
     feat = withn.withColumn("features", array_to_vector(unit)).drop("_nrm")
+    n_rows = feat.count()
+    train = feat
+    if n_rows > train_cap:
+        # deterministic (seeded) Bernoulli sample; 1.2x so the expected
+        # sample lands at/above the cap rather than below it
+        train = feat.sample(
+            fraction=min(1.0, 1.2 * train_cap / n_rows), seed=seed)
     km = KMeans(k=n_cells, maxIter=max_iter, seed=seed)
-    model = km.fit(feat)
+    model = km.fit(train)
     assigned = model.transform(feat).select(
         "vec_id", "vec", F.col("prediction").alias("cell"))
 
