@@ -2,12 +2,20 @@
 
 from __future__ import annotations
 
+import glob
 import json
 import sys
 
 import pytest
 
 import cli
+
+
+def _sink_lines(path: str) -> list[str]:
+    """Lines of a distributed text sink (one ordered part file)."""
+    parts = sorted(glob.glob(path + "/part-*"))
+    assert len(parts) == 1  # coalesce(1): one globally-ordered file
+    return open(parts[0]).read().splitlines()
 
 
 def _run(capsys, *argv):
@@ -35,9 +43,9 @@ def test_cli_index_stats_query_roundtrip(spark, tmp_path, capsys):
                "merge row batch", "--k", "5")
     assert len(out) == 5 and out[0].split("\t")[1] == "1"
 
-    run = str(tmp_path / "run.txt")
+    run = str(tmp_path / "run_out")
     _run(capsys, "query", "--index", idx, "--run-out", run, "--k", "5")
-    lines = open(run).read().splitlines()
+    lines = _sink_lines(run)
     # every query contributes up to k rows (some match fewer docs)
     assert 0 < len(lines) <= 250
     assert len({ln.split()[0] for ln in lines}) >= 45
@@ -45,12 +53,12 @@ def test_cli_index_stats_query_roundtrip(spark, tmp_path, capsys):
 
 
 def test_cli_ranklib_trainer_file_shape(spark, tmp_path, capsys):
-    feat = str(tmp_path / "feat.txt")
+    feat = str(tmp_path / "feat_out")
     out = _run(capsys, "ranklib_trainer", "--sf", "0.001", "--out", feat,
                "--k", "5")
     meta = json.loads(out[-1])
     assert 0 < meta["rows"] <= 250
-    first = open(feat).readline().split()
+    first = _sink_lines(feat)[0].split()
     # "<rel> qid:<id> 1:v .. 7:v # <doc>"
     assert first[0] in ("0", "1") and first[1].startswith("qid:")
     assert first[2].startswith("1:") and first[9] == "#"
