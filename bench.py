@@ -15,8 +15,12 @@ Stages:
   query_p50        per-query latency p50 over 10 single-query runs
   e2e_uncompressed tokenize->stats->score->topk straight from parquet
 
-Usage: python bench.py [--scaling]   (--scaling: run the index build at
-local[8] and local[32] in subprocesses and report efficiency)
+Usage: python bench.py [--scaling [--mode local-cluster]]
+  --scaling: run the index build at N and 4N cores in subprocesses and
+  report throughput + efficiency. Default mode compares local[8] vs
+  local[32] (threads, one JVM); --mode local-cluster compares
+  local-cluster[2,4,m] vs [8,4,m] — 2 vs 8 REAL executor JVMs with the
+  netty shuffle path, the closest in-sandbox model of N vs 4N executors.
 """
 
 from __future__ import annotations
@@ -29,18 +33,30 @@ import sys
 import tempfile
 import time
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
 #: where --scaling persists its measured evidence (attached to the
 #: default bench JSON so BENCH_r{N}.json carries the efficiency number)
-_SCALING_EVIDENCE_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "bench", "scaling_latest.json"
+_SCALING_EVIDENCE_PATH = os.path.join(_REPO, "bench", "scaling_latest.json")
+#: --scaling --mode local-cluster evidence (process-level executors)
+_SCALING_LC_EVIDENCE_PATH = os.path.join(
+    _REPO, "bench", "scaling_lc_latest.json"
 )
 
 
 def _mk_spark(cpus: int):
+    """Session for `cpus` total cores. SPARK_GRAFT_MASTER overrides the
+    master URL — the --mode local-cluster scaling legs set it to
+    local-cluster[n,cores,mem], which launches REAL separate executor
+    JVMs wired through the netty block-transfer shuffle (the closest
+    in-sandbox model of a multi-executor cluster); executor python
+    workers then need PYTHONPATH to import engine/ (shared local fs
+    stands in for --py-files distribution)."""
     from pyspark.sql import SparkSession
 
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    b = (
+        SparkSession.builder.master(master)
         .appName("bench")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
@@ -48,8 +64,19 @@ def _mk_spark(cpus: int):
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "500000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
-        .getOrCreate()
     )
+    if master.startswith("local-cluster"):
+        b = (
+            b.config("spark.executorEnv.PYTHONPATH", _REPO)
+            .config("spark.driver.memory", "8g")
+            # smaller input splits: per-executor heaps are a fraction of
+            # the single local-mode JVM, so bound per-task memory the
+            # way a real cluster sizing would; both lc legs share the
+            # setting, keeping the N->4N comparison internally
+            # consistent
+            .config("spark.sql.files.maxPartitionBytes", "16m")
+        )
+    return b.getOrCreate()
 
 
 def run_bench(sf_dir: str, cpus: int) -> dict:
@@ -119,12 +146,16 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # attach the latest measured N-vs-4N scaling evidence (produced by a
     # separate `python bench.py --scaling` run at 1M docs — too slow to
     # repeat inline; the attachment is labeled with its own timestamp)
-    if os.path.exists(_SCALING_EVIDENCE_PATH):
-        with open(_SCALING_EVIDENCE_PATH) as fh:
+    for key, path in (("scaling", _SCALING_EVIDENCE_PATH),
+                      ("scaling_local_cluster", _SCALING_LC_EVIDENCE_PATH)):
+        if not os.path.exists(path):
+            continue
+        with open(path) as fh:
             ev = json.load(fh)
-        out["scaling"] = {
+        out[key] = {
             "note": "from a prior `bench.py --scaling` run (protocol: "
                     "BASELINE.md); not re-measured in this invocation",
+            "masters": ev.get("masters"),
             "n_docs": ev.get("n_docs"),
             "build_wall_8": ev.get("build_wall_8"),
             "build_wall_32": ev.get("build_wall_32"),
@@ -318,9 +349,22 @@ def run_fixed_overhead(cpus: int) -> float:
     return round(wall, 3)
 
 
-def run_scaling(n_docs: int) -> None:
-    """local[8] vs local[32] on the identical generated input — the
-    sandbox stand-in for N vs 4N executors (BASELINE.md protocol).
+def run_scaling(n_docs: int, mode: str = "local") -> None:
+    """N vs 4N cores on the identical generated input — the sandbox
+    stand-in for N vs 4N executors (BASELINE.md protocol). Two modes:
+
+      local          local[8] vs local[32]: threads in one JVM, shuffle
+                     through in-process memory — measures per-core work
+                     scaling but conflates the engine with the VM's one
+                     memory bus.
+      local-cluster  local-cluster[2,4,m] vs [8,4,m]: 2 vs 8 REAL
+                     executor JVMs (fixed 4-core size — the literal
+                     'N executors vs 4N executors' shape of the north
+                     rule), shuffle via netty block transfer, Arrow IPC
+                     to per-executor python workers. Removes the
+                     in-process-shuffle objection to the local numbers;
+                     still one physical box, so the hw ceiling applies.
+
     Reports end-to-end build walls, the CPU-bound tokenize phase in
     isolation, and the VM's own hardware scaling ceiling so the numbers
     are interpretable on shared single-box infrastructure."""
@@ -328,18 +372,41 @@ def run_scaling(n_docs: int) -> None:
 
     corpus = _scaling_corpus(n_docs)
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    if mode == "local-cluster":
+        mem = int(os.environ.get("SPARK_GRAFT_LC_MEM_MB", "10240"))
+        legs = {8: f"local-cluster[2,4,{mem}]",
+                32: f"local-cluster[8,4,{mem}]"}
+        metric = (f"index-build scaling local-cluster[2,4,{mem}] -> "
+                  f"[8,4,{mem}] (2 vs 8 real executor JVMs, netty "
+                  "shuffle; N->4N executors)")
+        evidence_path = _SCALING_LC_EVIDENCE_PATH
+    else:
+        legs = {8: None, 32: None}
+        metric = ("index-build scaling local[8]->local[32] (sandbox "
+                  "stand-in for N->4N executors)")
+        evidence_path = _SCALING_EVIDENCE_PATH
     phases = ("scaling-build", "tokenize-phase", "shuffle-phase",
               "encode-phase")
     res: dict[str, dict[int, list[float]]] = {
-        p: {8: [], 32: []} for p in phases
+        p: {c: [] for c in legs} for p in phases
     }
+
+    def _env(cpus):
+        env = dict(os.environ)
+        if legs[cpus]:
+            env["SPARK_GRAFT_MASTER"] = legs[cpus]
+        else:
+            env.pop("SPARK_GRAFT_MASTER", None)
+        return env
+
     for rep in range(reps):
-        for cpus in (8, 32):
+        for cpus in legs:
             for phase in phases:
                 out = subprocess.run(
                     [sys.executable, __file__, f"--{phase}", corpus,
                      str(cpus)],
                     capture_output=True, text=True, check=True,
+                    env=_env(cpus),
                 )
                 line = out.stdout.strip().splitlines()[-1]
                 if phase == "scaling-build":
@@ -347,10 +414,10 @@ def run_scaling(n_docs: int) -> None:
                 else:
                     res[phase][cpus].append(float(line))
     fixed = {}
-    for cpus in (8, 32):
+    for cpus in legs:
         out = subprocess.run(
             [sys.executable, __file__, "--fixed-overhead", str(cpus)],
-            capture_output=True, text=True, check=True,
+            capture_output=True, text=True, check=True, env=_env(cpus),
         )
         fixed[cpus] = float(out.stdout.strip().splitlines()[-1])
     # best-of-reps: the sandbox VM shows 2-3x CPU-steal noise; min wall
@@ -366,14 +433,16 @@ def run_scaling(n_docs: int) -> None:
     adj32 = max(w32 - fixed[32], 0.001)
     hw = _hw_ceiling()
     result = {
-        "metric": "index-build scaling local[8]->local[32] (sandbox stand-in for N->4N executors)",
+        "metric": metric,
+        "mode": mode,
+        "masters": {str(c): (legs[c] or f"local[{c}]") for c in legs},
         "n_docs": n_docs,
         "build_wall_8": w8, "build_wall_32": w32,
         "build_docs_per_sec_32": round(n_docs / w32, 1),
         "build_efficiency": eff("scaling-build"),
         "fixed_overhead_8": fixed[8], "fixed_overhead_32": fixed[32],
         "build_efficiency_minus_fixed": round((adj8 / adj32) / 4, 3),
-        "phase_walls": {p: {str(c): best[p][c] for c in (8, 32)}
+        "phase_walls": {p: {str(c): best[p][c] for c in legs}
                         for p in phases},
         "phase_efficiency": {
             "tokenize": eff("tokenize-phase"),
@@ -390,7 +459,7 @@ def run_scaling(n_docs: int) -> None:
     result["measured_unix_ts"] = round(time.time(), 1)
     # persist so the default bench run (the driver's BENCH_r{N}.json)
     # can attach the latest measured scaling evidence
-    with open(_SCALING_EVIDENCE_PATH, "w") as fh:
+    with open(evidence_path, "w") as fh:
         json.dump(result, fh)
     print(json.dumps(result))
 
@@ -414,6 +483,10 @@ if __name__ == "__main__":
         i = sys.argv.index("--fixed-overhead")
         print(run_fixed_overhead(int(sys.argv[i + 1])))
     elif "--scaling" in sys.argv:
-        run_scaling(int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000")))
+        mode = "local"
+        if "--mode" in sys.argv:
+            mode = sys.argv[sys.argv.index("--mode") + 1]
+        run_scaling(int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000")),
+                    mode=mode)
     else:
         print(json.dumps(run_bench(sf, cpus)))

@@ -204,8 +204,12 @@ def cmd_ranklib_query(args) -> None:
 def cmd_ranklib_trainer(args) -> None:
     """Reference `ranklib_trainer` (Main.java:110-129): write the
     RankLib training file (qrel label + feature vector per candidate).
-    Training itself runs the external RankLib jar in the reference —
-    same here (the file is its input)."""
+    The reference delegates the training step to the external RankLib
+    jar and pastes learned weights back as constants
+    (KotlinRankLibTrainer.kt:166); --train closes that loop in-process
+    with engine/ltr.coordinate_ascent (RankLib's own default algorithm)
+    over the z-scored feature columns, printing the learned weights and
+    the training MAP."""
     from pyspark.sql import functions as F
 
     from engine.parity import qrel_flags, read_qrels, synthetic_qrels
@@ -248,8 +252,22 @@ def cmd_ranklib_trainer(args) -> None:
         .coalesce(1).write.mode("overwrite").text(args.out)
     )
     n = spark.read.text(args.out).count()
-    print(json.dumps({"training_file": args.out, "features": fcols,
-                      "rows": n}))
+    result = {"training_file": args.out, "features": fcols, "rows": n}
+    if args.train:
+        from engine.ltr import coordinate_ascent
+        from engine.rerank import zscore_norm
+
+        zcols = []
+        ztab = flagged
+        for c in fcols:
+            ztab = zscore_norm(ztab, c, out_col=f"z_{c}")
+            zcols.append(f"z_{c}")
+        weights, train_map = coordinate_ascent(
+            ztab, zcols, label_col="rel", n_rounds=args.train_rounds)
+        result["trained_weights"] = {c: round(w, 6)
+                                     for c, w in zip(fcols, weights)}
+        result["train_map"] = round(train_map, 6)
+    print(json.dumps(result))
 
 
 def cmd_linker(args) -> None:
@@ -309,6 +327,10 @@ def main() -> None:
     p.add_argument("--qrels", help="TREC qrels file (else synthetic)")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--out", required=True)
+    p.add_argument("--train", action="store_true",
+                   help="learn rank weights in-engine (coordinate "
+                        "ascent on MAP) instead of external RankLib")
+    p.add_argument("--train-rounds", type=int, default=2)
     p.set_defaults(fn=cmd_ranklib_trainer)
 
     p = sub.add_parser("linker")

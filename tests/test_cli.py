@@ -64,6 +64,20 @@ def test_cli_ranklib_trainer_file_shape(spark, tmp_path, capsys):
     assert first[2].startswith("1:") and first[9] == "#"
 
 
+def test_cli_ranklib_trainer_in_engine_training(spark, tmp_path, capsys):
+    """--train learns weights in-process (coordinate ascent on MAP over
+    the z-scored features) — the loop the reference outsources to the
+    RankLib jar."""
+    feat = str(tmp_path / "feat_train")
+    out = _run(capsys, "ranklib_trainer", "--sf", "0.001", "--out", feat,
+               "--k", "5", "--train", "--train-rounds", "1")
+    meta = json.loads(out[-1])
+    w = meta["trained_weights"]
+    assert set(w) == set(meta["features"]) and len(w) == 7
+    assert 0 < meta["train_map"] <= 1.0
+    assert abs(sum(abs(v) for v in w.values()) - 1.0) < 1e-5
+
+
 def test_cli_linker_out_of_scope(spark):
     with pytest.raises(SystemExit, match="out of scope"):
         cli.cmd_linker(None)
