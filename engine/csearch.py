@@ -132,6 +132,7 @@ def search_index(
     k: int = TOP_K,
     prune: bool | str = "auto",
     round_dp: int | None = None,
+    cache_level: str = "memory",
 ) -> DataFrame:
     """Top-k BM25 over a compressed index (from postings.build_index /
     read_index). Returns (query_id, doc_id, score, rank).
@@ -143,7 +144,16 @@ def search_index(
     whose raw score sits just below the raw k-th score but rounds into a
     tie can never be pruned: round() raises a score by < 0.5*10^-dp and
     lowers the k-th score by <= 0.5*10^-dp, so only docs within one
-    quantum of theta can change rounded order, and those are kept."""
+    quantum of theta can change rounded order, and those are kept.
+
+    cache_level ('memory' | 'disk' | 'none'): how the pruned plan holds
+    the query's posting rows (byte payloads included) across its
+    phase-1/2/3 reuse. 'memory' (default) is fastest when the touched
+    slice fits executor storage; at north-star scale a hot term's
+    payload blocks are TB-class, so serving there should use 'disk'
+    (spill-backed) or 'none' (re-scan: the term IN-pushdown scan is
+    cheap relative to pinning payloads in the storage pool). Measured
+    at sf0.1 and 1M docs in BASELINE.md."""
     n_docs, avgdl = index["n_docs"], index["avgdl"]
     if prune == "auto":
         prune = n_docs >= AUTO_PRUNE_MIN_DOCS
@@ -178,7 +188,13 @@ def search_index(
         )
         return _finish(scored)
 
-    rows = rows.cache()
+    if cache_level == "memory":
+        rows = rows.cache()
+    elif cache_level == "disk":
+        from pyspark import StorageLevel
+
+        rows = rows.persist(StorageLevel.DISK_ONLY)
+    # 'none': no persist — phases re-run the IN-pushdown scan + join
 
     # phase 1: θ from the rarest term of each query (all its salt rows)
     wmax = Window.partitionBy("query_id")

@@ -218,6 +218,31 @@ def test_ivf_sampled_training_retains_recall(spark):
     assert hits / len(brute) >= 0.8
 
 
+def test_search_cache_levels_rank_identical(spark, tmp_path):
+    """cache_level only changes how the pruned plan holds posting rows
+    across phases — results must be identical for memory/disk/none."""
+    from engine.csearch import search_index
+    from engine.postings import build_index, read_index
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i % 7} delta{i % 3} alpha", "en", "s", 30)
+         for i in range(40)], DOC_SCHEMA)
+    out = str(tmp_path / "cl_idx")
+    build_index(spark, docs, out, n_shards=2, hot_df_threshold=5,
+                n_salts=2, id_col="doc_id", text_col="text")
+    idx = read_index(spark, out)
+    qs = spark.createDataFrame([("q0", "alpha delta0"), ("q1", "beta gamma1")],
+                               "query_id string, query string")
+    res = {}
+    for lvl in ("memory", "disk", "none"):
+        res[lvl] = sorted(
+            (r.query_id, r.doc_id, round(r.score, 9), r.rank)
+            for r in search_index(spark, idx, qs, k=10, prune=True,
+                                  cache_level=lvl).collect())
+    assert res["memory"] == res["disk"] == res["none"]
+    assert len(res["memory"]) > 0
+
+
 def test_fit_linear_weights_matches_numpy_lstsq(spark):
     import numpy as np
 
