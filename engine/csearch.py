@@ -153,8 +153,21 @@ def search_index(
     payload blocks are TB-class, so serving there should use 'disk'
     (spill-backed) or 'none' (re-scan: the term IN-pushdown scan is
     cheap relative to pinning payloads in the storage pool). Measured
-    at sf0.1 and 1M docs in BASELINE.md."""
+    at sf0.1 and 1M docs in BASELINE.md.
+
+    Stale-bound safety (incremental merge): stored block_max bounds
+    were computed at index['encode_avgdl'], which can lag the serving
+    avgdl after an incremental stream merge. tf_part is increasing in
+    avgdl with ratio tf_part(avgdl_new)/tf_part(avgdl_old) <
+    avgdl_new/avgdl_old for every (tf, dl) (the ratio is maximized as
+    tf->0, dl->inf, where it tends to that quotient), so multiplying
+    every stored bound by max(1, serving/encode) re-validates it as an
+    upper bound; pruning merely loses (bounded) sharpness, never
+    correctness. merge_partials re-baselines with a full re-encode once
+    the drift exceeds its max_bound_drift."""
     n_docs, avgdl = index["n_docs"], index["avgdl"]
+    enc_avgdl = float(index.get("encode_avgdl") or avgdl) or avgdl
+    bfac = max(1.0, avgdl / enc_avgdl) if enc_avgdl > 0 else 1.0
     if prune == "auto":
         prune = n_docs >= AUTO_PRUNE_MIN_DOCS
     qt, terms = local_query_terms(spark, queries)
@@ -233,7 +246,7 @@ def search_index(
     # list computed with JVM higher-order functions (no explode, no
     # shuffle of the byte payloads)
     qterm = rows.groupBy("query_id", "term", "w").agg(
-        F.max(F.array_max("block_max")).alias("tmax")
+        (F.max(F.array_max("block_max")) * F.lit(bfac)).alias("tmax")
     )
     ub = qterm.groupBy("query_id").agg(
         F.sum(F.col("w") * F.col("tmax")).alias("ubsum")
@@ -253,9 +266,9 @@ def search_index(
             F.filter(
                 F.transform(
                     "block_max",
-                    lambda x, i: F.when(F.col("w") * x >= slack, i).otherwise(
-                        F.lit(-1)
-                    ),
+                    lambda x, i: F.when(
+                        F.col("w") * x * F.lit(bfac) >= slack, i
+                    ).otherwise(F.lit(-1)),
                 ),
                 lambda i: i >= 0,
             ),

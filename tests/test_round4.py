@@ -218,6 +218,119 @@ def test_ivf_sampled_training_retains_recall(spark):
     assert hits / len(brute) >= 0.8
 
 
+def _mk_stream_drop(spark, inp, rows):
+    spark.createDataFrame(rows, DOC_SCHEMA).write.mode(
+        "overwrite").parquet(inp + "/drop")
+
+
+def _ingest(spark, inp, out, **merge_kw):
+    from engine.postings import merge_partials
+    from engine.streaming import start_incremental_index
+
+    q = start_incremental_index(spark, inp + "/drop", out, avgdl_hint=4.0)
+    q.awaitTermination(120)
+    return merge_partials(spark, out, hot_df_threshold=10**9, n_salts=2,
+                          **merge_kw)
+
+
+BATCH_ROWS = [(i, f"alpha beta gamma{i % 5} delta{i % 3}", "en", "s", 30)
+              for i in range(30)]
+# append-only stream: new doc ids, one term shared with the batch
+# ('alpha'), one brand new ('epsilon'); 5 tokens/doc pulls avgdl up
+# ~4% — inside the 5% drift bound, so serving avgdl > encode avgdl
+# and the stale-bound inflation path actually runs
+STREAM_ROWS = [(100 + i, "alpha epsilon zeta eta theta", "en", "s", 28)
+               for i in range(6)]
+
+
+def test_incremental_merge_rank_identical_to_full(spark, tmp_path_factory):
+    """Append-only stream batch -> auto merge goes incremental (only
+    stream-touched tids re-merged, pointer-flipped versioned dir) and
+    serves rank-identically to a from-scratch FULL merge of the same
+    corpus, pruned and unpruned, including the stale-bound inflation
+    (serving avgdl > encode_avgdl here)."""
+    from engine.csearch import search_index
+    from engine.postings import build_index, load_manifest, read_index
+
+    qs_rows = [("q0", "alpha epsilon"), ("q1", "beta delta1 theta")]
+
+    outs = {}
+    for mode in ("auto", False):
+        out = str(tmp_path_factory.mktemp(f"im_{mode}_idx"))
+        inp = str(tmp_path_factory.mktemp(f"im_{mode}_in"))
+        batch = spark.createDataFrame(BATCH_ROWS, DOC_SCHEMA)
+        build_index(spark, batch, out, n_shards=2, hot_df_threshold=10**9,
+                    n_salts=2, id_col="doc_id", text_col="text")
+        _mk_stream_drop(spark, inp, STREAM_ROWS)
+        _ingest(spark, inp, out, incremental=mode)
+        outs[mode] = out
+
+    m_inc = load_manifest(outs["auto"])
+    m_full = load_manifest(outs[False])
+    assert m_inc["last_merge"] == "incremental"
+    assert m_inc["postings_dir"] == "postings_v1"
+    assert m_full["last_merge"] == "full"
+    # incremental keeps the OLD encode baseline; serving avgdl moved up
+    assert m_inc["encode_avgdl"] < m_inc["stats"]["avgdl"]
+
+    idx_inc = read_index(spark, outs["auto"])
+    idx_full = read_index(spark, outs[False])
+    assert idx_inc["encode_avgdl"] < idx_inc["avgdl"]
+    qs = spark.createDataFrame(qs_rows, "query_id string, query string")
+    for prune in (True, False):
+        a = sorted((r.query_id, r.doc_id, round(r.score, 9), r.rank)
+                   for r in search_index(spark, idx_inc, qs, k=10,
+                                         prune=prune).collect())
+        b = sorted((r.query_id, r.doc_id, round(r.score, 9), r.rank)
+                   for r in search_index(spark, idx_full, qs, k=10,
+                                         prune=prune).collect())
+        assert a == b and len(a) > 0
+
+    # df of a batch+stream-spanning term re-merged from ALL partials
+    alpha = [r for r in
+             spark.read.parquet(outs["auto"] + "/" + m_inc["postings_dir"])
+             .where("term = 'alpha'").collect()]
+    assert {r.df for r in alpha} == {36}
+
+
+def test_incremental_merge_rebaselines_past_drift_bound(
+        spark, tmp_path_factory):
+    """avgdl drift beyond max_bound_drift forces a full re-merge (the
+    re-baseline), resetting encode_avgdl to the serving value."""
+    from engine.postings import build_index, load_manifest
+
+    out = str(tmp_path_factory.mktemp("drift_idx"))
+    inp = str(tmp_path_factory.mktemp("drift_in"))
+    batch = spark.createDataFrame(BATCH_ROWS, DOC_SCHEMA)
+    build_index(spark, batch, out, n_shards=2, hot_df_threshold=10**9,
+                n_salts=2, id_col="doc_id", text_col="text")
+    # 10 docs of 20 tokens: avgdl 4 -> ~6.5, way past 5%
+    long_rows = [(200 + i, " ".join(f"w{j}" for j in range(20)),
+                  "en", "s", 99) for i in range(10)]
+    _mk_stream_drop(spark, inp, long_rows)
+    _ingest(spark, inp, out, incremental="auto")
+    m = load_manifest(out)
+    assert m["last_merge"] == "full"
+    assert m["encode_avgdl"] == m["stats"]["avgdl"]
+
+
+def test_incremental_merge_declined_on_redrop(spark, tmp_path_factory):
+    """A re-dropped doc (dedup removes rows) must force the full merge:
+    the touched-tid set cannot see terms that VANISHED from the stream
+    partials, so incremental would keep ghost rows."""
+    from engine.postings import build_index, load_manifest
+
+    out = str(tmp_path_factory.mktemp("rd_idx"))
+    inp = str(tmp_path_factory.mktemp("rd_in"))
+    batch = spark.createDataFrame(BATCH_ROWS, DOC_SCHEMA)
+    build_index(spark, batch, out, n_shards=2, hot_df_threshold=10**9,
+                n_salts=2, id_col="doc_id", text_col="text")
+    # re-drop batch doc 0 (same dl keeps drift at zero)
+    _mk_stream_drop(spark, inp, [BATCH_ROWS[0]])
+    _ingest(spark, inp, out, incremental="auto")
+    assert load_manifest(out)["last_merge"] == "full"
+
+
 def test_search_cache_levels_rank_identical(spark, tmp_path):
     """cache_level only changes how the pruned plan holds posting rows
     across phases — results must be identical for memory/disk/none."""
