@@ -292,9 +292,11 @@ def pruning_stats(
 ) -> dict:
     """How much decode work block-max pruning avoids: returns
     {total_blocks, kept_blocks, pruned_fraction} for the given query
-    set — the same phase-1/phase-2 math as search_index(prune=True),
-    collected instead of executed."""
+    set — the same phase-1/phase-2 math as search_index(prune=True)
+    (stale-bound inflation included), collected instead of executed."""
     n_docs, avgdl = index["n_docs"], index["avgdl"]
+    enc_avgdl = float(index.get("encode_avgdl") or avgdl) or avgdl
+    bfac = max(1.0, avgdl / enc_avgdl) if enc_avgdl > 0 else 1.0
     qt, terms = local_query_terms(spark, queries)
     if not terms:
         return {"total_blocks": 0, "kept_blocks": 0, "pruned_fraction": 0.0}
@@ -329,7 +331,7 @@ def pruning_stats(
         .select("query_id", "theta")
     )
     qterm = rows.groupBy("query_id", "term", "w").agg(
-        F.max(F.array_max("block_max")).alias("tmax")
+        (F.max(F.array_max("block_max")) * F.lit(bfac)).alias("tmax")
     )
     ub = qterm.groupBy("query_id").agg(
         F.sum(F.col("w") * F.col("tmax")).alias("ubsum")
@@ -345,7 +347,8 @@ def pruning_stats(
         .select(
             F.size("block_max").alias("total"),
             F.size(F.filter("block_max",
-                            lambda x: F.col("w") * x >= slack)).alias("kept"),
+                            lambda x: F.col("w") * x * F.lit(bfac) >= slack)
+                   ).alias("kept"),
         )
         .agg(F.sum("total"), F.sum("kept"))
         .collect()[0]

@@ -293,6 +293,38 @@ def test_incremental_merge_rank_identical_to_full(spark, tmp_path_factory):
     assert {r.df for r in alpha} == {36}
 
 
+def test_incremental_merge_shrinking_avgdl_prune_safe(spark,
+                                                      tmp_path_factory):
+    """Drift in the OTHER direction (stream docs shorter than the
+    batch, serving avgdl < encode avgdl): stored bounds over-estimate —
+    pruning stays exact with inflation factor 1."""
+    from engine.csearch import search_index
+    from engine.postings import build_index, load_manifest, read_index
+
+    out = str(tmp_path_factory.mktemp("shrink_idx"))
+    inp = str(tmp_path_factory.mktemp("shrink_in"))
+    batch = spark.createDataFrame(BATCH_ROWS, DOC_SCHEMA)
+    build_index(spark, batch, out, n_shards=2, hot_df_threshold=10**9,
+                n_salts=2, id_col="doc_id", text_col="text")
+    short_rows = [(300 + i, "alpha epsilon zeta", "en", "s", 17)
+                  for i in range(4)]
+    _mk_stream_drop(spark, inp, short_rows)
+    _ingest(spark, inp, out, incremental="auto")
+    m = load_manifest(out)
+    assert m["last_merge"] == "incremental"
+    assert m["encode_avgdl"] > m["stats"]["avgdl"]
+    idx = read_index(spark, out)
+    qs = spark.createDataFrame([("q0", "alpha zeta"), ("q1", "beta gamma2")],
+                               "query_id string, query string")
+    a = sorted((r.query_id, r.doc_id, round(r.score, 9), r.rank)
+               for r in search_index(spark, idx, qs, k=10,
+                                     prune=True).collect())
+    b = sorted((r.query_id, r.doc_id, round(r.score, 9), r.rank)
+               for r in search_index(spark, idx, qs, k=10,
+                                     prune=False).collect())
+    assert a == b and len(a) > 0
+
+
 def test_incremental_merge_rebaselines_past_drift_bound(
         spark, tmp_path_factory):
     """avgdl drift beyond max_bound_drift forces a full re-merge (the
