@@ -388,6 +388,70 @@ def test_search_cache_levels_rank_identical(spark, tmp_path):
     assert len(res["memory"]) > 0
 
 
+def _union_find_components(pairs):
+    """Python oracle: union-find canonical (min id per component)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_dedup_components_matches_union_find(spark):
+    """Min-label propagation == union-find on an adversarial pair list
+    (two chains, a star, a triangle, singletons absent)."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    pairs = [(1, 2), (2, 3), (3, 4),            # chain
+             (10, 11), (10, 12), (10, 13),      # star
+             (20, 21), (21, 22), (20, 22),      # triangle
+             (30, 31)]
+    # plus random extra edges among 40..60
+    for _ in range(15):
+        a, b = rng.integers(40, 60, size=2)
+        if a != b:
+            pairs.append((int(min(a, b)), int(max(a, b))))
+    from engine.dedup import dedup_components
+
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.doc_id: r.canonical_id
+           for r in dedup_components(df).collect()}
+    assert got == _union_find_components(pairs)
+
+
+def test_near_dup_canonical_end_to_end(spark):
+    """Docs -> minhash pairs -> components -> per-doc canonical: three
+    near-identical groups collapse to their min doc_id; the unique doc
+    stays its own canonical."""
+    from engine.dedup import near_dup_canonical
+
+    mk = lambda i, t: (i, t, "en", "s", len(t))  # noqa: E731
+    docs = spark.createDataFrame([
+        mk(0, "the quick brown fox jumps over the lazy dog today"),
+        mk(1, "the quick brown fox jumps over the lazy dog today"),
+        mk(2, "the quick brown fox jumps over the lazy dog tonight"),
+        mk(5, "entirely different content about spark posting lists merge"),
+        mk(7, "pack my box with five dozen liquor jugs right now"),
+        mk(8, "pack my box with five dozen liquor jugs right now"),
+    ], DOC_SCHEMA)
+    got = {r.doc_id: (r.canonical_id, r.is_dup)
+           for r in near_dup_canonical(docs, threshold=0.5, k=3).collect()}
+    assert got[0] == (0, False) and got[1] == (0, True)
+    assert got[2] == (0, True)      # near-dup via shared shingles
+    assert got[5] == (5, False)
+    assert got[7] == (7, False) and got[8] == (7, True)
+
+
 def test_fit_linear_weights_matches_numpy_lstsq(spark):
     import numpy as np
 
