@@ -255,7 +255,9 @@ def test_incremental_merge_rank_identical_to_full(spark, tmp_path_factory):
     qs_rows = [("q0", "alpha epsilon"), ("q1", "beta delta1 theta")]
 
     outs = {}
-    for mode in ("auto", False):
+    # incremental=True forces the path past the economic touched-frac
+    # guard (this tiny vocab trips it); correctness guards still apply
+    for mode in (True, False):
         out = str(tmp_path_factory.mktemp(f"im_{mode}_idx"))
         inp = str(tmp_path_factory.mktemp(f"im_{mode}_in"))
         batch = spark.createDataFrame(BATCH_ROWS, DOC_SCHEMA)
@@ -265,7 +267,7 @@ def test_incremental_merge_rank_identical_to_full(spark, tmp_path_factory):
         _ingest(spark, inp, out, incremental=mode)
         outs[mode] = out
 
-    m_inc = load_manifest(outs["auto"])
+    m_inc = load_manifest(outs[True])
     m_full = load_manifest(outs[False])
     assert m_inc["last_merge"] == "incremental"
     assert m_inc["postings_dir"] == "postings_v1"
@@ -273,7 +275,7 @@ def test_incremental_merge_rank_identical_to_full(spark, tmp_path_factory):
     # incremental keeps the OLD encode baseline; serving avgdl moved up
     assert m_inc["encode_avgdl"] < m_inc["stats"]["avgdl"]
 
-    idx_inc = read_index(spark, outs["auto"])
+    idx_inc = read_index(spark, outs[True])
     idx_full = read_index(spark, outs[False])
     assert idx_inc["encode_avgdl"] < idx_inc["avgdl"]
     qs = spark.createDataFrame(qs_rows, "query_id string, query string")
@@ -288,7 +290,7 @@ def test_incremental_merge_rank_identical_to_full(spark, tmp_path_factory):
 
     # df of a batch+stream-spanning term re-merged from ALL partials
     alpha = [r for r in
-             spark.read.parquet(outs["auto"] + "/" + m_inc["postings_dir"])
+             spark.read.parquet(outs[True] + "/" + m_inc["postings_dir"])
              .where("term = 'alpha'").collect()]
     assert {r.df for r in alpha} == {36}
 
@@ -309,7 +311,7 @@ def test_incremental_merge_shrinking_avgdl_prune_safe(spark,
     short_rows = [(300 + i, "alpha epsilon zeta", "en", "s", 17)
                   for i in range(4)]
     _mk_stream_drop(spark, inp, short_rows)
-    _ingest(spark, inp, out, incremental="auto")
+    _ingest(spark, inp, out, incremental=True)
     m = load_manifest(out)
     assert m["last_merge"] == "incremental"
     assert m["encode_avgdl"] > m["stats"]["avgdl"]
@@ -323,6 +325,42 @@ def test_incremental_merge_shrinking_avgdl_prune_safe(spark,
                for r in search_index(spark, idx, qs, k=10,
                                      prune=False).collect())
     assert a == b and len(a) > 0
+
+
+def test_incremental_auto_touched_fraction_guard(spark,
+                                                 tmp_path_factory):
+    """auto only goes incremental when the stream batch touches a small
+    fraction of the term space (measured: on a tiny vocabulary the
+    incremental path costs MORE than a full merge)."""
+    from engine.postings import build_index, load_manifest
+
+    wide_batch = [(i, f"t{i}a t{i}b common", "en", "s", 20)
+                  for i in range(40)]  # ~81 distinct terms
+    for rows, expect in (
+        ([(500, "t0a newterm1 newterm2", "en", "s", 20)], "incremental"),
+        # 4 new terms / ~85, zero dl drift -> still under 0.2
+        ([(510 + i, "newa newb newc", "en", "s", 20) for i in range(3)]
+         + [(520, "newa newb newd", "en", "s", 20)], "incremental"),
+        ([(600 + i, " ".join(f"s{j}" for j in range(30)), "en", "s", 99)
+          for i in range(2)], "full"),  # 30 new terms but drift blows up
+    ):
+        out = str(tmp_path_factory.mktemp("frac_idx"))
+        inp = str(tmp_path_factory.mktemp("frac_in"))
+        build_index(spark, spark.createDataFrame(wide_batch, DOC_SCHEMA),
+                    out, n_shards=2, hot_df_threshold=10**9, n_salts=2,
+                    id_col="doc_id", text_col="text")
+        _mk_stream_drop(spark, inp, rows)
+        _ingest(spark, inp, out, incremental="auto")
+        assert load_manifest(out)["last_merge"] == expect
+    # tiny-vocab batch: 5 touched / ~15 terms > 0.2 -> auto declines
+    out = str(tmp_path_factory.mktemp("frac2_idx"))
+    inp = str(tmp_path_factory.mktemp("frac2_in"))
+    build_index(spark, spark.createDataFrame(BATCH_ROWS, DOC_SCHEMA),
+                out, n_shards=2, hot_df_threshold=10**9, n_salts=2,
+                id_col="doc_id", text_col="text")
+    _mk_stream_drop(spark, inp, STREAM_ROWS)
+    _ingest(spark, inp, out, incremental="auto")
+    assert load_manifest(out)["last_merge"] == "full"
 
 
 def test_incremental_merge_rebaselines_past_drift_bound(

@@ -70,17 +70,49 @@ def main() -> None:
     m = load_manifest(BASE)
     avgdl = m["stats"]["avgdl"]
 
-    # ---- (a) incremental vs full merge of a 5k append-only stream batch
-    stream_rows = (
+    # ---- (a) incremental vs full merge of a 5k append-only stream
+    # batch, in BOTH vocabulary regimes:
+    #   smallvocab — stream drawn from the corpus's own 1,030-token
+    #     vocabulary: touches ~every tid, the incremental worst case
+    #     (the auto guard must pick the full merge);
+    #   disjoint  — stream drawn from 200 NEW tokens at the corpus
+    #     avgdl: touches ~16% of the term space, the favorable regime.
+    small_stream = (
         synth_corpus(spark, N_STREAM)
         .withColumn("doc_id", F.col("doc_id") + 10_000_000)
     )
+    nv = 200
+    svocab = F.array(*[F.lit(f"streamonly{i}") for i in range(nv)])
+    n_tok = int(round(avgdl))
+    disjoint_stream = (
+        spark.range(N_STREAM)
+        .select((F.col("id") + 20_000_000).alias("doc_id"))
+        .withColumn("repo", F.lit("org0/streamrepo"))
+        .withColumn("path", F.concat(F.lit("s/"),
+                                     F.col("doc_id").cast("string")))
+        .withColumn("commit", F.lit("c" * 40))
+        .withColumn("lang", F.lit("python"))
+        .withColumn(
+            "content",
+            F.concat_ws(" ", F.transform(
+                F.sequence(F.lit(1), F.lit(n_tok)),
+                lambda j: F.element_at(
+                    svocab, (F.pmod(F.xxhash64(F.col("doc_id"), j),
+                                    F.lit(nv)) + 1).cast("int")))),
+        )
+    )
+    legs = [
+        ("smallvocab_auto", small_stream, "auto"),
+        ("smallvocab_forced_inc", small_stream, True),
+        ("disjoint_auto", disjoint_stream, "auto"),
+        ("disjoint_full", disjoint_stream, False),
+    ]
     merge = {}
-    for mode in ("auto", "full"):
-        d = f"{BASE}_{mode}"
+    for name, stream_rows, inc in legs:
+        d = f"{BASE}_{name}"
         shutil.rmtree(d, ignore_errors=True)
         shutil.copytree(BASE, d)
-        inp = tempfile.mkdtemp(prefix=f"inc_exp_{mode}_")
+        inp = tempfile.mkdtemp(prefix=f"inc_exp_{name}_")
         stream_rows.write.mode("overwrite").parquet(inp + "/drop")
         q = start_incremental_index(
             spark, inp + "/drop", d, avgdl_hint=avgdl,
@@ -90,21 +122,26 @@ def main() -> None:
         q.awaitTermination(600)
         t0 = time.time()
         merge_partials(spark, d, hot_df_threshold=50_000, n_salts=8,
-                       incremental=("auto" if mode == "auto" else False))
+                       incremental=inc)
         wall = round(time.time() - t0, 1)
         mm = load_manifest(d)
-        merge[mode] = {"merge_wall": wall, "last_merge": mm["last_merge"],
+        merge[name] = {"merge_wall": wall, "last_merge": mm["last_merge"],
                        "encode_avgdl": round(mm["encode_avgdl"], 3),
                        "avgdl": round(mm["stats"]["avgdl"], 3)}
-        # rank-identity spot check between the two merge modes
+        # rank-identity spot check across merge modes of the same input
         idx = read_index(spark, d)
         res = search_index(spark, idx, queries_df(spark), k=10,
                            prune=True).orderBy("query_id", "rank")
-        merge[mode]["topk_sig"] = hash(tuple(
+        merge[name]["topk_sig"] = hash(tuple(
             (r.query_id, r.doc_id, round(r.score, 6)) for r in res.collect()))
+        shutil.rmtree(d, ignore_errors=True)
     result["stream_merge_5k_on_1m"] = merge
-    result["merge_modes_rank_identical"] = (
-        merge["auto"]["topk_sig"] == merge["full"]["topk_sig"])
+    result["merge_modes_rank_identical"] = {
+        "smallvocab": merge["smallvocab_auto"]["topk_sig"]
+        == merge["smallvocab_forced_inc"]["topk_sig"],
+        "disjoint": merge["disjoint_auto"]["topk_sig"]
+        == merge["disjoint_full"]["topk_sig"],
+    }
 
     # ---- (b) query-batch wall per cache_level over the base index
     idx = read_index(spark, BASE)
