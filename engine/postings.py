@@ -859,15 +859,17 @@ def merge_partials(
     sharpness, never correctness. Past the drift bound the merge
     re-baselines with a full re-encode.
 
-    Touched-fraction guard (MEASURED, tools/inc_exp.py at 1M docs): the
-    incremental path only pays off when the stream batch touches a
-    small fraction of the term space — on a small-vocabulary corpus
-    (the 1,030-token synthetic, where a 5k-doc batch touches ~every
-    term) incremental measured 128 s vs 50 s for the full merge,
-    because it re-merged everything AND re-wrote the standing table.
-    ``auto`` therefore falls back to the full merge when
-    touched_tids / total_tids > incremental_max_touched_frac (two
-    scalar counts, computed only once the cheaper conditions hold).
+    Touched-fraction guard (MEASURED, tools/inc_exp.py at 1M docs,
+    results in BASELINE.md): the incremental path only pays off when
+    the stream batch touches a small fraction of the term space. On a
+    small-vocabulary corpus (the 1,030-token synthetic, where a 5k-doc
+    batch touches ~every term) incremental measured 128 s vs 50 s cold
+    / 26.9 vs 29.8 s warm — it re-merges everything AND re-writes the
+    standing table. With a disjoint-vocabulary batch (~16% touched) it
+    wins 2.3x (8.6 s vs 20.2 s). ``auto`` therefore falls back to the
+    full merge when touched_tids / total_tids >
+    incremental_max_touched_frac (two scalar counts, computed only once
+    the cheaper conditions hold).
 
     Scale note: ``dfs`` and ``term_dict`` have one row PER DISTINCT TERM
     (10^8-10^9 rows at the 10^12-file north-star scale), so neither is
