@@ -260,6 +260,98 @@ def ivf_topk(
     )
 
 
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, qvec: array<tinyint>, qscale: double): symmetric int8
+    scalar quantization of the UNIT vector (FAISS SQ8-style): each
+    float32 unit vector becomes 127-scaled signed bytes + one
+    per-vector dequantization scale, so cos(a, b) ~= dot(qa, qb) *
+    qscale_a * qscale_b. 4x smaller than float32 (and ~8x smaller than
+    the float64 Spark would otherwise shuffle) — at 100 TB the
+    quantized table is the one you keep hot; the float originals stay
+    in cold storage for the exact re-rank of candidates only.
+
+    All JVM expressions: norm, max-abs, element casts via transform."""
+    unit_nrm = _norm(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    unit = F.when(
+        unit_nrm > 0,
+        F.transform(vec_col, lambda x: x.cast("double") / unit_nrm),
+    ).otherwise(F.transform(vec_col, lambda x: F.lit(0.0)))
+    amax = F.array_max(F.transform(unit, F.abs))
+    qvec = F.when(
+        amax > 0,
+        F.transform(unit, lambda x: F.round(x / amax * 127).cast("tinyint")),
+    ).otherwise(F.transform(unit, lambda x: F.lit(0).cast("tinyint")))
+    qscale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        qvec.alias("qvec"),
+        qscale.alias("qscale"),
+    )
+
+
+def quantized_cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    overfetch: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, cos, rank): int8-quantized scan + exact
+    re-rank. Phase 1 scores every vector with the integer dot product
+    over the 4x-smaller quantized table (JVM zip_with/aggregate, no
+    Python) and keeps overfetch*k candidates per query; phase 2 joins
+    the candidates back to the float vectors for an exact cosine
+    re-rank, so the output ORDER is exact-cosine order — quantization
+    can only cost recall when a true top-k neighbor falls outside the
+    overfetched candidate set (tested >= 0.9 recall)."""
+    q = quantize_embeddings(embeddings, id_col, vec_col)
+    qq = q.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qscale").alias("q_qscale"),
+    )
+    # integer dot product; int accumulator is safe to dim ~1.3e5
+    idot = F.aggregate(
+        F.zip_with("qvec", "q_qvec",
+                   lambda a, b: a.cast("int") * b.cast("int")),
+        F.lit(0), lambda acc, v: acc + v,
+    )
+    approx = (
+        q.crossJoin(F.broadcast(qq))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("acos", idot * F.col("qscale") * F.col("q_qscale"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("acos"),
+                                                F.asc("vec_id"))
+    cand = (
+        approx.withColumn("arn", F.row_number().over(wq))
+        .where(F.col("arn") <= overfetch * k)
+        .select("query_id", "vec_id")
+    )
+    full = embeddings.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).alias("vec"))
+    qfull = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec_f"))
+    exact = (
+        cand.join(full, "vec_id")
+        .join(F.broadcast(qfull), "query_id")
+        .withColumn("cos", F.round(cosine_expr(F.col("qvec_f"),
+                                               F.col("vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
 # ------------------------------------------------------------ oracle SQL twin
 
 def cosine_topk_sql(query_ids: list[int], k: int = 5,

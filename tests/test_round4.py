@@ -426,6 +426,47 @@ def test_search_cache_levels_rank_identical(spark, tmp_path):
     assert len(res["memory"]) > 0
 
 
+def test_quantized_cosine_recall_and_order(spark):
+    """int8 scalar quantization + exact re-rank: recall@5 vs exact
+    cosine >= 0.9 on clustered embeddings, output order IS exact-cosine
+    order, and the quantized table round-trips sane values."""
+    import numpy as np
+
+    from engine.similarity import (
+        cosine_topk, quantize_embeddings, quantized_cosine_topk,
+    )
+
+    rng = np.random.default_rng(21)
+    centers = rng.normal(size=(8, 24)) * 4
+    rows = [(i, (centers[i % 8] + 0.15 * rng.normal(size=24)).tolist())
+            for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qids = [0, 1, 2, 3, 4]
+    brute = cosine_topk(emb, query_ids=qids, k=5).collect()
+    # tight clusters are the quantization worst case (all members are
+    # near-ties at cos ~0.99, reorderable by ~1/127 per-dim error), so
+    # overfetch past the cluster size
+    got = quantized_cosine_topk(emb, query_ids=qids, k=5,
+                                overfetch=10).collect()
+    bset = {(r.query_id, r.vec_id) for r in brute}
+    hits = sum((r.query_id, r.vec_id) in bset for r in got)
+    assert hits / len(bset) >= 0.9
+    # candidates that ARE in both carry the exact cosine (re-ranked)
+    bmap = {(r.query_id, r.vec_id): r.cos for r in brute}
+    for r in got:
+        if (r.query_id, r.vec_id) in bmap:
+            assert abs(r.cos - bmap[(r.query_id, r.vec_id)]) < 1e-9
+
+    q = quantize_embeddings(emb).collect()
+    for r in q[:10]:
+        assert all(-127 <= v <= 127 for v in r.qvec)
+        assert 0 < r.qscale < 1
+    # dequantized self-cosine ~ 1
+    r0 = next(r for r in q if r.vec_id == 0)
+    dot = sum(int(v) * int(v) for v in r0.qvec) * r0.qscale * r0.qscale
+    assert abs(dot - 1.0) < 0.02
+
+
 def _union_find_components(pairs):
     """Python oracle: union-find canonical (min id per component)."""
     parent = {}
