@@ -11,7 +11,10 @@ functions the driver contract gates.
     spark-submit ... cli.py stats --index /data/idx
     spark-submit ... cli.py graph_builder --sf 0.01 --out /data/edges
     spark-submit ... cli.py ranklib_query --sf 0.01 --run-out rerank_run.txt
-    spark-submit ... cli.py ranklib_trainer --sf 0.01 --out features.txt
+    spark-submit ... cli.py ranklib_trainer --sf 0.01 --out features.txt --train
+    spark-submit ... cli.py stream_ingest --index /data/idx --input /drop
+    spark-submit ... cli.py merge --index /data/idx --strategy auto
+    spark-submit ... cli.py dedup --sf 0.01 --out /data/dups --method minhash
 
 Corpus inputs accept --corpus (parquet path OR catalog table id, see
 engine/sources.py), --sf N (driver testdata), or --gen N (synthesized).
@@ -270,6 +273,82 @@ def cmd_ranklib_trainer(args) -> None:
     print(json.dumps(result))
 
 
+def cmd_stream_ingest(args) -> None:
+    """Beyond-reference ops: ingest a watched directory of corpus
+    parquet into partial posting shards via Structured Streaming
+    (engine/streaming.start_incremental_index), then merge (the merge
+    auto-selects incremental vs full — engine/postings.merge_partials)."""
+    from engine.postings import load_manifest, merge_partials
+    from engine.streaming import start_incremental_index
+
+    spark = _spark("cli-stream-ingest")
+    m = load_manifest(args.index)
+    if m["stats"] is None:
+        raise SystemExit(
+            "stream_ingest: index has no stats — run `index` (or at "
+            "least its init_stats pass) first so streaming has an "
+            "avgdl hint and a term dictionary layout to extend")
+    q = start_incremental_index(
+        spark, args.input, args.index, avgdl_hint=m["stats"]["avgdl"],
+        schema=args.schema, text_col=args.text_col)
+    q.awaitTermination(args.timeout)
+    out = {"ingested": True}
+    if not args.no_merge:
+        m = merge_partials(spark, args.index, hot_df_threshold=args.hot_df,
+                           n_salts=args.salts)
+        out.update({"last_merge": m.get("last_merge"),
+                    "merge_wall_ms": m.get("merge_wall_ms"),
+                    "postings_dir": m.get("postings_dir"),
+                    "n_docs": m["stats"]["n_docs"]})
+    print(json.dumps(out))
+
+
+def cmd_merge(args) -> None:
+    """Merge partial shards into the serving postings table.
+    --strategy auto (default) picks incremental vs full by the measured
+    guards; full forces a re-baseline; force-incremental skips the
+    economic guard (correctness guards still apply)."""
+    from engine.postings import merge_partials
+
+    spark = _spark("cli-merge")
+    inc = {"auto": "auto", "full": False, "force-incremental": True}[
+        args.strategy]
+    m = merge_partials(spark, args.index, hot_df_threshold=args.hot_df,
+                       n_salts=args.salts, incremental=inc)
+    print(json.dumps({
+        "last_merge": m.get("last_merge"),
+        "merge_wall_ms": m.get("merge_wall_ms"),
+        "postings_dir": m.get("postings_dir", "postings"),
+        "encode_avgdl": m.get("encode_avgdl"),
+        "avgdl": m["stats"]["avgdl"],
+    }))
+
+
+def cmd_dedup(args) -> None:
+    """Beyond-reference pipeline op: per-doc dedup verdict
+    (doc_id, canonical_id, is_dup) -> parquet. --method exact uses the
+    sha256 hash-groupBy; minhash/simhash/ngram run near-dup pair
+    generation + connected-component canonical assignment."""
+    from engine.dedup import exact_dedup, near_dup_canonical
+
+    spark = _spark("cli-dedup")
+    docs, id_col, text_col = _load_corpus(spark, args)
+    if args.method == "exact":
+        verdict = exact_dedup(docs, id_col=id_col, text_col=text_col).select(
+            "doc_id", "canonical_id", "is_dup")
+    else:
+        verdict = near_dup_canonical(docs, method=args.method,
+                                     id_col=id_col, text_col=text_col)
+    verdict.write.mode("overwrite").parquet(args.out)
+    back = spark.read.parquet(args.out)
+    print(json.dumps({
+        "out": args.out,
+        "n_docs": back.count(),
+        "n_dups": back.where("is_dup").count(),
+        "method": args.method,
+    }))
+
+
 def cmd_linker(args) -> None:
     """Reference `linker` (Main.java:67-77 -> EntityLinker.java:23-44)
     POSTs paragraph text to a DBpedia Spotlight HTTP service — an
@@ -332,6 +411,34 @@ def main() -> None:
                         "ascent on MAP) instead of external RankLib")
     p.add_argument("--train-rounds", type=int, default=2)
     p.set_defaults(fn=cmd_ranklib_trainer)
+
+    p = sub.add_parser("stream_ingest")
+    p.add_argument("--index", required=True)
+    p.add_argument("--input", required=True,
+                   help="watched directory of corpus parquet files")
+    p.add_argument("--schema", default="doc_id long, text string, "
+                   "lang string, source string, n_chars long")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--timeout", type=int, default=600)
+    p.add_argument("--no-merge", action="store_true")
+    p.add_argument("--salts", type=int, default=8)
+    p.add_argument("--hot-df", type=int, default=1 << 17)
+    p.set_defaults(fn=cmd_stream_ingest)
+
+    p = sub.add_parser("merge")
+    p.add_argument("--index", required=True)
+    p.add_argument("--strategy", default="auto",
+                   choices=["auto", "full", "force-incremental"])
+    p.add_argument("--salts", type=int, default=8)
+    p.add_argument("--hot-df", type=int, default=1 << 17)
+    p.set_defaults(fn=cmd_merge)
+
+    p = sub.add_parser("dedup")
+    _add_corpus_args(p)
+    p.add_argument("--out", required=True)
+    p.add_argument("--method", default="minhash",
+                   choices=["exact", "minhash", "simhash", "ngram"])
+    p.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser("linker")
     p.set_defaults(fn=cmd_linker)

@@ -78,6 +78,36 @@ def test_cli_ranklib_trainer_in_engine_training(spark, tmp_path, capsys):
     assert abs(sum(abs(v) for v in w.values()) - 1.0) < 1e-5
 
 
+def test_cli_stream_ingest_merge_dedup(spark, tmp_path, capsys):
+    """The ops subcommands end-to-end: index -> stream_ingest (new docs
+    via Structured Streaming + auto merge) -> merge --strategy full ->
+    dedup verdict."""
+    idx = str(tmp_path / "ops_idx")
+    _run(capsys, "index", "--sf", "0.001", "--out", idx,
+         "--shards", "2", "--salts", "2")
+
+    drop = str(tmp_path / "drop")
+    spark.createDataFrame(
+        [(900001, "merge row batch stream doc", "en", "s", 26)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(drop)
+    out = _run(capsys, "stream_ingest", "--index", idx, "--input", drop,
+               "--timeout", "120", "--salts", "2")
+    st = json.loads(out[-1])
+    assert st["ingested"] and st["n_docs"] == 501
+
+    out = _run(capsys, "merge", "--index", idx, "--strategy", "full",
+               "--salts", "2")
+    mg = json.loads(out[-1])
+    assert mg["last_merge"] == "full" and mg["encode_avgdl"] == mg["avgdl"]
+
+    ded = str(tmp_path / "dedup_out")
+    out = _run(capsys, "dedup", "--sf", "0.001", "--out", ded,
+               "--method", "exact")
+    dd = json.loads(out[-1])
+    assert dd["n_docs"] == 500 and dd["n_dups"] >= 0
+
+
 def test_cli_linker_out_of_scope(spark):
     with pytest.raises(SystemExit, match="out of scope"):
         cli.cmd_linker(None)
