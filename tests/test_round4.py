@@ -401,6 +401,36 @@ def test_incremental_merge_declined_on_redrop(spark, tmp_path_factory):
     assert load_manifest(out)["last_merge"] == "full"
 
 
+def test_read_index_pre_pointer_manifest_compat(spark, tmp_path):
+    """An index written before the pointer/encode_avgdl manifest keys
+    existed must still open and serve: postings_dir defaults to
+    'postings', encode_avgdl defaults to the serving avgdl (inflation
+    factor 1)."""
+    import json
+
+    from engine.csearch import search_index
+    from engine.postings import build_index, read_index
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i % 4}", "en", "s", 20) for i in range(20)],
+        DOC_SCHEMA)
+    out = str(tmp_path / "old_idx")
+    build_index(spark, docs, out, n_shards=2, hot_df_threshold=10**9,
+                n_salts=2, id_col="doc_id", text_col="text")
+    mp = out + "/_manifest.json"
+    m = json.load(open(mp))
+    for k in ("postings_dir", "encode_avgdl", "merged_batch_shards",
+              "last_merge", "postings_version"):
+        m.pop(k, None)
+    json.dump(m, open(mp, "w"))
+    idx = read_index(spark, out)
+    assert idx["encode_avgdl"] == idx["avgdl"]
+    qs = spark.createDataFrame([("q0", "alpha gamma1")],
+                               "query_id string, query string")
+    res = search_index(spark, idx, qs, k=5, prune=True).collect()
+    assert len(res) == 5
+
+
 def test_search_cache_levels_rank_identical(spark, tmp_path):
     """cache_level only changes how the pruned plan holds posting rows
     across phases — results must be identical for memory/disk/none."""
