@@ -125,6 +125,25 @@ def local_query_terms(spark: SparkSession, queries: DataFrame):
 AUTO_PRUNE_MIN_DOCS = 100_000
 
 
+def _pb_pruned_postings(index: dict, terms: list[str]) -> DataFrame:
+    """Static partition pruning on the tid-bucket layout: each query
+    term's bucket is pb = pmod(xxhash64(term), pb_mod), computed
+    driver-side with the pure-Python XXH64 twin (engine/xxh, equality
+    with Spark's xxhash64 is test-pinned) so the `pb IN (...)` filter
+    is a literal Catalyst can prune partition DIRECTORIES with — a
+    5-term query touches <= 5 of the table's pb_mod partitions before a
+    single file is opened. Pre-bucket indexes (no pb_mod) pass
+    through."""
+    posts = index["postings"]
+    pb_mod = index.get("pb_mod")
+    if not pb_mod or "pb" not in posts.columns:
+        return posts
+    from .xxh import spark_xxhash64_str
+
+    pbs = sorted({spark_xxhash64_str(t) % pb_mod for t in terms})
+    return posts.where(F.col("pb").isin(pbs))
+
+
 def search_index(
     spark: SparkSession,
     index: dict,
@@ -179,7 +198,7 @@ def search_index(
 
     q = F.broadcast(qt)
     rows = (
-        index["postings"]
+        _pb_pruned_postings(index, terms)
         .where(F.col("term").isin(terms))
         .join(q, "term")
         .withColumn("idf", idf_expr(n_docs))
@@ -302,7 +321,8 @@ def pruning_stats(
         return {"total_blocks": 0, "kept_blocks": 0, "pruned_fraction": 0.0}
     q = F.broadcast(qt)
     rows = (
-        index["postings"].where(F.col("term").isin(terms)).join(q, "term")
+        _pb_pruned_postings(index, terms)
+        .where(F.col("term").isin(terms)).join(q, "term")
         .withColumn("idf", idf_expr(n_docs))
         .withColumn("w", F.col("qtf") * F.col("idf"))
     ).cache()

@@ -401,6 +401,92 @@ def test_incremental_merge_declined_on_redrop(spark, tmp_path_factory):
     assert load_manifest(out)["last_merge"] == "full"
 
 
+def test_python_xxh64_matches_spark(spark):
+    """The driver-side bucket computation is only sound if engine/xxh
+    reproduces Spark's xxhash64 exactly — pinned over empty/unicode/
+    stripe-boundary and random strings."""
+    import random
+    import string
+
+    from engine.xxh import spark_xxhash64_str
+
+    rng = random.Random(7)
+    strs = ["", "a", "def", "日本語テスト", "x" * 31, "y" * 32, "z" * 33] + [
+        "".join(rng.choices(string.printable, k=rng.randint(0, 80)))
+        for _ in range(60)]
+    df = spark.createDataFrame([(s,) for s in strs], "s string").select(
+        "s", F.xxhash64("s").alias("h"))
+    for r in df.collect():
+        assert spark_xxhash64_str(r.s) == r.h
+
+
+def test_pb_partition_pruning_and_hardlinked_buckets(spark,
+                                                     tmp_path_factory):
+    """The tid-bucket layout end-to-end: (1) the driver-side XXH64 twin
+    puts each term in the bucket Spark's xxhash64 chose; (2) the serving
+    scan prunes postings PARTITIONS for the query's terms; (3) an
+    incremental merge rewrites only touched buckets and hardlinks the
+    rest (file names in untouched buckets are byte-identical to the
+    previous version's)."""
+    import glob
+
+    from engine.csearch import _pb_pruned_postings
+    from engine.postings import build_index, load_manifest, read_index
+    from engine.xxh import spark_xxhash64_str
+
+    out = str(tmp_path_factory.mktemp("pb_idx"))
+    inp = str(tmp_path_factory.mktemp("pb_in"))
+    wide_batch = [(i, f"t{i}a t{i}b common", "en", "s", 20)
+                  for i in range(40)]
+    build_index(spark, spark.createDataFrame(wide_batch, DOC_SCHEMA),
+                out, n_shards=2, hot_df_threshold=10**9, n_salts=2,
+                id_col="doc_id", text_col="text")
+    idx = read_index(spark, out)
+    pbm = idx["pb_mod"]
+    assert pbm == 8  # auto fan-out: small corpus
+
+    # (1) python xxh bucket == the bucket Spark stored the term in
+    got_pb = [r.pb for r in idx["postings"]
+              .where(F.col("term") == "common").select("pb").collect()]
+    assert got_pb and set(got_pb) == {spark_xxhash64_str("common") % pbm}
+
+    # (2) partition filter reaches the physical scan
+    pruned = _pb_pruned_postings(idx, ["common"]).where(
+        F.col("term") == "common")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "pb" in plan
+
+    # (3) incremental merge: untouched bucket files carried over
+    # verbatim (hardlinks), touched buckets rewritten
+    old_files = {os.path.relpath(p, out + "/postings")
+                 for p in glob.glob(out + "/postings/pb=*/*.parquet")}
+    _mk_stream_drop(spark, inp,
+                    [(900, "newa newb newc", "en", "s", 20),
+                     (901, "newa newb newd", "en", "s", 20)])
+    _ingest(spark, inp, out, incremental=True)
+    m = load_manifest(out)
+    assert m["last_merge"] == "incremental"
+    new_root = out + "/" + m["postings_dir"]
+    new_files = {os.path.relpath(p, new_root)
+                 for p in glob.glob(new_root + "/pb=*/*.parquet")}
+    touched_pbs = {spark_xxhash64_str(t) % pbm
+                   for t in ("newa", "newb", "newc", "newd")}
+    carried = {f for f in new_files
+               if int(f.split("/")[0].split("=")[1]) not in touched_pbs}
+    rewritten = new_files - carried
+    assert carried and carried < old_files | carried  # names preserved
+    assert all(f in old_files for f in carried)
+    assert rewritten and all(f not in old_files for f in rewritten)
+    # serving still correct over the linked+rewritten table
+    from engine.csearch import search_index
+
+    idx2 = read_index(spark, out)
+    qs = spark.createDataFrame([("q0", "common newa")],
+                               "query_id string, query string")
+    res = search_index(spark, idx2, qs, k=50, prune=True).collect()
+    assert {r.doc_id for r in res} == set(range(40)) | {900, 901}
+
+
 def test_read_index_pre_pointer_manifest_compat(spark, tmp_path):
     """An index written before the pointer/encode_avgdl manifest keys
     existed must still open and serve: postings_dir defaults to
