@@ -884,9 +884,10 @@ def merge_partials(
     the value the standing postings were encoded at
     (manifest['encode_avgdl']), the merge goes INCREMENTAL: only tids
     present in stream partials are re-merged (from all their partials,
-    at the OLD encode avgdl so the table stays homogeneous) and
-    union-ed with the untouched rows of the standing table, written to
-    a versioned dir committed by an atomic manifest-pointer flip.
+    at the OLD encode avgdl so the table stays homogeneous), only the
+    tid-BUCKETS those terms hash into are rewritten, and every
+    untouched bucket dir is hardlinked into a versioned dir committed
+    by an atomic manifest-pointer flip (_incremental_merge).
     Safety: stored block-max bounds are upper bounds for the avgdl they
     were encoded at; serving re-validates them against the CURRENT
     avgdl by inflating with max(1, serving/encode) (csearch docstring
