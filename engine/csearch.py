@@ -184,6 +184,10 @@ def search_index(
     upper bound; pruning merely loses (bounded) sharpness, never
     correctness. merge_partials re-baselines with a full re-encode once
     the drift exceeds its max_bound_drift."""
+    if cache_level not in ("memory", "disk", "none"):
+        raise ValueError(
+            f"cache_level must be 'memory', 'disk', or 'none', got "
+            f"{cache_level!r}")
     n_docs, avgdl = index["n_docs"], index["avgdl"]
     enc_avgdl = float(index.get("encode_avgdl") or avgdl) or avgdl
     bfac = max(1.0, avgdl / enc_avgdl) if enc_avgdl > 0 else 1.0

@@ -306,21 +306,17 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     max_bucket emit star candidates around their minimum doc instead of
     all pairs (module docstring); the Hamming verify then runs on the
     O(m) star rows only."""
-    sig = simhash(docs, id_col, text_col).cache()
-    chunks = []
-    for c in range(4):
-        chunks.append(
-            sig.select(
-                "doc_id",
-                F.concat_ws(":", F.lit(str(c)),
-                            (F.shiftright("simhash", c * 12) % 4096).cast("string")
-                            ).alias("bucket"),
-                "simhash",
-            )
-        )
-    allc = chunks[0]
-    for ch in chunks[1:]:
-        allc = allc.unionAll(ch)
+    # ONE scan emitting all 4 chunk buckets per doc via explode — not a
+    # 4-way unionAll that needed the signature table cached (and leaked
+    # the cache past the call) to avoid recomputing simhash per branch
+    sig = simhash(docs, id_col, text_col)
+    buckets = F.array(*[
+        F.concat_ws(":", F.lit(str(c)),
+                    (F.shiftright("simhash", c * 12) % 4096).cast("string"))
+        for c in range(4)
+    ])
+    allc = sig.select("doc_id", F.explode(buckets).alias("bucket"),
+                      "simhash")
     cand = _capped_candidates(allc, max_bucket, key="bucket",
                               carry=("simhash",))
     ham = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
@@ -384,9 +380,14 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20,
             f"dedup_components did not converge in {max_iter} iterations "
             "(pathological chain graph?) — raise max_iter"
         )
+    # cut the per-iteration lineage AND release the loop caches: the
+    # returned table's blocks now live with the DataFrame itself (freed
+    # on GC) instead of pinning the storage pool across ops invocations
+    out = labels.localCheckpoint(eager=True)
+    labels.unpersist()
     sym.unpersist()
-    return labels.select(F.col("node").alias("doc_id"),
-                         F.col("label").alias("canonical_id"))
+    return out.select(F.col("node").alias("doc_id"),
+                      F.col("label").alias("canonical_id"))
 
 
 def near_dup_canonical(docs: DataFrame, method: str = "minhash",

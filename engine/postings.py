@@ -355,6 +355,14 @@ def dedup_stream_partials(spark: SparkSession, out_dir: str,
         or os.path.exists(os.path.join(ds_tmp, "_SUCCESS"))
         or os.path.exists(os.path.join(final, "_SUCCESS"))
     )
+    # a finished crash recovery must still report what the interrupted
+    # dedup removed — returning 0 after recovering a removal would let
+    # the caller's pure-append guard take the incremental merge and
+    # keep ghost rows for terms the recovered consolidation erased.
+    # max(1, ...) keeps the guard conservative even for a recovered
+    # entry that recorded 0.
+    recovered_removed = (max(1, int(pending.get("removed", 0)))
+                         if recoverable else 0)
     if recoverable:
         _finish_dedup_swap(out_dir, part_dir, tmp, ds_tmp, final,
                            pending["shards"], pending["n_postings"],
@@ -376,7 +384,7 @@ def dedup_stream_partials(spark: SparkSession, out_dir: str,
         if os.path.isdir(part_dir) else []
     )
     if not stream_shards:
-        return 0
+        return recovered_removed
 
     sd_path = os.path.join(out_dir, "doc_stats_stream")
     bp = os.path.join(out_dir, "doc_stats")
@@ -396,7 +404,7 @@ def dedup_stream_partials(spark: SparkSession, out_dir: str,
     if sd is not None:
         n_within = sd.count() - sd.select("doc_id").distinct().count()
     if n_dup_batch == 0 and n_within == 0:
-        return 0
+        return recovered_removed
 
     parts = (
         spark.read.option("basePath", part_dir).parquet(part_dir)
@@ -462,7 +470,7 @@ def dedup_stream_partials(spark: SparkSession, out_dir: str,
     _save_manifest(out_dir, manifest)
     _finish_dedup_swap(out_dir, part_dir, tmp, ds_tmp, final,
                        stream_shards, n_after, removed)
-    return removed
+    return removed + recovered_removed
 
 
 def _finish_dedup_swap(out_dir: str, part_dir: str, tmp: str, ds_tmp: str,
@@ -982,14 +990,20 @@ def merge_partials(
         and manifest.get("pb_mod") == pb_mod
         and os.path.isdir(_postings_dir(out_dir, manifest))
     )
+    touched_df = None
+    if go_incremental:
+        # the touched-tid set is built (and cached) ONCE and shared by
+        # the economic guard's count and the incremental merge itself —
+        # partials are scanned once for it, not once per consumer
+        touched_df = (
+            spark.read.option("basePath", part_root).parquet(part_root)
+            .where(F.col("shard").cast("string").startswith("stream"))
+            .select("tid").distinct().cache()
+        )
     if go_incremental and incremental == "auto":
         # economic guard (incremental=True skips it; the correctness
         # guards above always apply)
-        touched_n = (
-            spark.read.option("basePath", part_root).parquet(part_root)
-            .where(F.col("shard").cast("string").startswith("stream"))
-            .select("tid").distinct().count()
-        )
+        touched_n = touched_df.count()
         total_n = (
             spark.read.schema(TERM_DICT_SCHEMA)
             .parquet(os.path.join(out_dir, "term_dict"))
@@ -997,10 +1011,12 @@ def merge_partials(
         )
         if total_n == 0 or touched_n / total_n > incremental_max_touched_frac:
             go_incremental = False
+            touched_df.unpersist()
+            touched_df = None
     if go_incremental:
         manifest = _incremental_merge(
             spark, out_dir, manifest, float(enc_prev),
-            hot_df_threshold, n_salts, pb_mod)
+            hot_df_threshold, n_salts, pb_mod, touched_df)
         manifest["merge_wall_ms"] = int((time.time() - t0) * 1000)
         manifest["last_merge"] = "incremental"
         _save_manifest(out_dir, manifest)
@@ -1037,6 +1053,7 @@ def _incremental_merge(
     hot_df_threshold: int,
     n_salts: int,
     pb_mod: int,
+    touched: DataFrame,
 ) -> dict:
     """Bucket-level partial rewrite: re-merge ONLY the tids that appear
     in stream partials (each from ALL its partials, so df and salting
@@ -1053,13 +1070,7 @@ def _incremental_merge(
     before it leaves only a garbage dir that the next merge sweeps, and
     hardlinks mean deleting the old version never touches the new one's
     shared files."""
-    part_root = os.path.join(out_dir, "partials")
     old_dir = _postings_dir(out_dir, manifest)
-    touched = (
-        spark.read.option("basePath", part_root).parquet(part_root)
-        .where(F.col("shard").cast("string").startswith("stream"))
-        .select("tid").distinct()
-    ).cache()
     touched_pbs = sorted(
         r.pb for r in touched.select(_pb_col(pb_mod)).distinct().collect()
     )

@@ -216,7 +216,10 @@ def ivf_topk(
         F.transform("vec", lambda x: x.cast("double") / F.col("_nrm")),
     ).otherwise(F.transform("vec", lambda x: F.lit(0.0)))
     feat = withn.withColumn("features", array_to_vector(unit)).drop("_nrm")
-    n_rows = feat.count()
+    # row count from the SOURCE (projection-pruned scan) — counting
+    # feat would be the same rows but reads as if the normalization
+    # lineage ran an extra full pass
+    n_rows = embeddings.count()
     train = feat
     if n_rows > train_cap:
         # deterministic (seeded) Bernoulli sample; 1.2x so the expected
@@ -315,11 +318,13 @@ def quantized_cosine_topk(
         F.col("qvec").alias("q_qvec"),
         F.col("qscale").alias("q_qscale"),
     )
-    # integer dot product; int accumulator is safe to dim ~1.3e5
+    # integer dot product with a LONG accumulator: per-element products
+    # are bounded by 127*127 (int-safe), but an int running sum would
+    # silently wrap for dims above ~133k
     idot = F.aggregate(
         F.zip_with("qvec", "q_qvec",
                    lambda a, b: a.cast("int") * b.cast("int")),
-        F.lit(0), lambda acc, v: acc + v,
+        F.lit(0).cast("long"), lambda acc, v: acc + v,
     )
     approx = (
         q.crossJoin(F.broadcast(qq))

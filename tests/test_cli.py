@@ -12,10 +12,14 @@ import cli
 
 
 def _sink_lines(path: str) -> list[str]:
-    """Lines of a distributed text sink (one ordered part file)."""
-    parts = sorted(glob.glob(path + "/part-*"))
-    assert len(parts) == 1  # coalesce(1): one globally-ordered file
-    return open(parts[0]).read().splitlines()
+    """Lines of a run/training artifact — a REAL file (the distributed
+    sink's single part file is promoted to the requested path; no
+    .spark-text temp dir may be left behind)."""
+    import os
+
+    assert os.path.isfile(path)
+    assert not os.path.exists(path + ".spark-text")
+    return open(path).read().splitlines()
 
 
 def _run(capsys, *argv):
