@@ -103,6 +103,41 @@ def test_crash_after_final_rename_before_journal_clear(spark,
     _assert_recovered(spark, out)
 
 
+def test_recovered_dedup_removal_forces_full_merge(spark,
+                                                   tmp_path_factory):
+    """Review finding: a dedup consolidation that REMOVED rows, crashed
+    mid-swap, and was finished by recovery must still count as a
+    removal — otherwise the pure-append guard would take the
+    incremental merge over a stream-partial set the recovery erased
+    terms from, keeping ghost rows. incremental=True (which skips only
+    the economic guard) must still re-baseline fully."""
+    import shutil as _sh
+
+    from engine.postings import _save_manifest, load_manifest, merge_partials
+
+    out = _build_batch_and_stream(spark, tmp_path_factory, "rr")
+    # reconstruct the crash state exactly like the swap-window tests:
+    # consolidated output demoted to tmp, journal pending with the
+    # REAL removed count restored
+    final = out + "/partials/shard=streamdedup"
+    tmp = out + "/_stream_dedup_tmp"
+    _sh.move(final, tmp)
+    m = load_manifest(out)
+    n_post = m["shards"]["streamdedup"]["n_postings"]
+    removed = m["shards"]["streamdedup"]["dedup_removed"]
+    assert removed > 0  # the re-drop really removed rows
+    del m["shards"]["streamdedup"]
+    m["shards"]["stream0"] = {"status": "ok", "streaming": True}
+    m["stream_dedup_pending"] = {
+        "shards": ["shard=streamdedup", "shard=stream0"],
+        "n_postings": n_post, "removed": removed,
+    }
+    _save_manifest(out, m)
+    merge_partials(spark, out, hot_df_threshold=10**9, n_salts=2,
+                   incremental=True)
+    assert load_manifest(out)["last_merge"] == "full"
+
+
 def test_stale_stream_lineage_reconciled(spark, tmp_path_factory):
     """A status-ok lineage row for a stream shard dir that no longer
     exists must be dropped at the next dedup bookkeeping pass, not kept
