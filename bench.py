@@ -227,7 +227,9 @@ def run_scaling_build(corpus_path: str, cpus: int) -> dict:
         t0 = time.time()
         build_index(spark, docs, out, n_shards=8,
                     hot_df_threshold=max(1000, n_docs // 20), n_salts=8,
-                    id_col="doc_id", text_col="content")
+                    id_col="doc_id", text_col="content",
+                    encode_impl=os.environ.get("SPARK_GRAFT_ENCODE_IMPL",
+                                               "arrow"))
         wall = time.time() - t0
     finally:
         shutil.rmtree(out, ignore_errors=True)
@@ -321,19 +323,28 @@ def run_shuffle_phase(corpus_path: str, cpus: int) -> float:
 
 def run_encode_phase(corpus_path: str, cpus: int) -> float:
     """The full build hot path minus parquet output: shuffle + Arrow
-    JVM->Python transfer + numpy lexsort/encode kernel, noop sink."""
+    JVM->Python transfer + numpy lexsort/encode kernel, noop sink.
+    SPARK_GRAFT_ENCODE_IMPL ('arrow' default / 'pandas') picks the
+    kernel twin, mirroring build_index's encode_impl — so the phase
+    measurement always matches the kernel the real build runs, and the
+    A/B for the round-4 mapInArrow port uses the identical harness."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from engine.postings import TID_ENC_SCHEMA, _encode_partition_fn
+    from engine.postings import (TID_ENC_SCHEMA, _encode_partition_arrow_fn,
+                                 _encode_partition_fn)
 
+    impl = os.environ.get("SPARK_GRAFT_ENCODE_IMPL", "arrow")
     spark = _mk_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     raw = _raw_tokens_df(spark, corpus_path)
+    shuffled = raw.repartition("shard", "tid")
+    if impl == "arrow":
+        enc = shuffled.mapInArrow(
+            _encode_partition_arrow_fn(200.0), TID_ENC_SCHEMA)
+    else:
+        enc = shuffled.mapInPandas(
+            _encode_partition_fn(200.0), TID_ENC_SCHEMA)
     t0 = time.time()
-    (
-        raw.repartition("shard", "tid")
-        .mapInPandas(_encode_partition_fn(200.0), TID_ENC_SCHEMA)
-        .write.format("noop").mode("overwrite").save()
-    )
+    enc.write.format("noop").mode("overwrite").save()
     wall = time.time() - t0
     spark.stop()
     return round(wall, 3)

@@ -121,7 +121,12 @@ def _promote_single_text(spark, tmp_dir: str, path: str) -> int:
 
     n = spark.read.text(tmp_dir).count()
     parts = sorted(_glob.glob(os.path.join(tmp_dir, "part-*")))
-    assert len(parts) == 1, parts
+    if len(parts) != 1:
+        # a bare assert is stripped under `python -O`, which would let a
+        # multi-part sink silently promote only the first part file
+        raise RuntimeError(
+            f"expected exactly one part file in {tmp_dir} (the sink "
+            f"coalesces to 1), found {len(parts)}: {parts}")
     if os.path.isdir(path):
         _sh.rmtree(path)
     os.replace(parts[0], path)

@@ -64,7 +64,13 @@ def fit_linear_weights(feats: DataFrame, feature_cols: list[str],
     d = len(feature_cols)
     if d == 2:
         det = s["s00"] * s["s11"] - s["s01"] * s["s01"]
-        if det == 0:
+        # RELATIVE singularity test (round-3 advisor: an absolute
+        # threshold is scale-dependent — small-magnitude feature sums
+        # get falsely flagged, huge ill-conditioned ones slip through):
+        # det is a difference of two products, so compare it to their
+        # magnitude
+        scale = max(abs(s["s00"] * s["s11"]), s["s01"] * s["s01"])
+        if det == 0 or abs(det) < 1e-12 * scale:
             raise ValueError("singular normal equations: features are "
                              "linearly dependent")
         return [
@@ -79,9 +85,11 @@ def fit_linear_weights(feats: DataFrame, feature_cols: list[str],
         b[i] = s[f"b{i}"]
         for j in range(d):
             a[i, j] = s[f"s{i}{j}" if i <= j else f"s{j}{i}"]
-    if abs(np.linalg.det(a)) < 1e-30:
+    # condition number is scale-invariant, unlike det (round-3 advisor)
+    cond = np.linalg.cond(a)
+    if not np.isfinite(cond) or cond > 1e12:
         raise ValueError("singular normal equations: features are "
-                         "linearly dependent")
+                         "linearly dependent (cond > 1e12)")
     return [float(w) for w in np.linalg.solve(a, b)]
 
 
@@ -114,6 +122,48 @@ def mean_average_precision(scored: DataFrame, score_col: str = "score",
     return float(row) if row is not None else 0.0
 
 
+def ndcg_at_k(scored: DataFrame, k: int = 10, score_col: str = "score",
+              label_col: str = "y", by: str = "query_id",
+              id_col: str = "doc_id") -> float:
+    """nDCG@k over (query, doc, score, graded label) — the metric real
+    LTR tuning optimizes, completing the in-engine evaluation surface
+    the reference delegated to trec_eval (README.md:64). Standard
+    exponential-gain form: DCG@k = Σ_{i<=k} (2^rel_i - 1)/log2(i+1)
+    over the score-ranked list; IDCG@k is the same sum over the
+    label-ranked (ideal) list; nDCG = DCG/IDCG averaged over queries
+    with IDCG > 0 (no-relevant queries are excluded, matching the
+    mean_average_precision convention).
+
+    Fully distributed: two windows (actual + ideal rank) + one
+    aggregation; the driver sees one scalar."""
+    base = scored.select(
+        by, F.col(label_col).cast("double").alias("_y"),
+        F.col(score_col).alias("_s"), F.col(id_col).alias("_id"),
+    )
+    w_act = Window.partitionBy(by).orderBy(F.desc("_s"), F.asc("_id"))
+    w_idl = Window.partitionBy(by).orderBy(F.desc("_y"), F.asc("_id"))
+    gain = lambda rk: (  # noqa: E731
+        (F.pow(F.lit(2.0), F.col("_y")) - 1.0) / F.log2(rk + F.lit(1.0)))
+    ranked = base.select(
+        by,
+        F.row_number().over(w_act).alias("_ra"),
+        F.row_number().over(w_idl).alias("_ri"),
+        "_y",
+    )
+    per_q = (
+        ranked.groupBy(by)
+        .agg(
+            F.sum(F.when(F.col("_ra") <= k, gain(F.col("_ra")))
+                  .otherwise(0.0)).alias("_dcg"),
+            F.sum(F.when(F.col("_ri") <= k, gain(F.col("_ri")))
+                  .otherwise(0.0)).alias("_idcg"),
+        )
+        .where(F.col("_idcg") > 0)
+    )
+    row = per_q.agg(F.avg(F.col("_dcg") / F.col("_idcg"))).collect()[0][0]
+    return float(row) if row is not None else 0.0
+
+
 def coordinate_ascent(
     feats: DataFrame,
     feature_cols: list[str],
@@ -123,13 +173,24 @@ def coordinate_ascent(
     n_rounds: int = 2,
     steps: tuple[float, ...] = (0.05, 0.2, 0.5, 1.0),
     init: list[float] | None = None,
+    metric: str = "map",
+    ndcg_k: int = 10,
 ) -> tuple[list[float], float]:
     """Deterministic coordinate ascent on MAP (RankLib's default
-    algorithm, reference ranklib_method.md:35 trains with it): for each
-    feature in turn try additive perturbations ±step (fixed grid, no
-    RNG), keep the best-scoring weight, L1-renormalize after each
-    feature pass. Returns (weights, map). The feature table is cached
-    for the duration (every evaluation re-scans it)."""
+    algorithm, reference ranklib_method.md:35 trains with it) or on
+    nDCG@k (metric='ndcg' — the metric real LTR tuning typically
+    targets): for each feature in turn try additive perturbations
+    ±step (fixed grid, no RNG), keep the best-scoring weight,
+    L1-renormalize after each feature pass. Returns (weights, metric
+    value). The feature table is cached for the duration (every
+    evaluation re-scans it).
+
+    Both metrics are invariant under positive scaling of the weight
+    vector, so the L1 renormalization never decreases the objective —
+    with init given, the returned metric is >= the init weights'
+    metric by construction (line-search moves are accept-if-better)."""
+    if metric not in ("map", "ndcg"):
+        raise ValueError(f"metric must be 'map' or 'ndcg', got {metric!r}")
     d = len(feature_cols)
     w = list(init) if init else [1.0 / d] * d
     feats = feats.select(by, id_col, label_col, *feature_cols).cache()
@@ -141,9 +202,10 @@ def coordinate_ascent(
         return e
 
     def evaluate(ws):
-        return mean_average_precision(
-            feats.withColumn("_s", score_expr(ws)), "_s", label_col,
-            by, id_col)
+        scored = feats.withColumn("_s", score_expr(ws))
+        if metric == "ndcg":
+            return ndcg_at_k(scored, ndcg_k, "_s", label_col, by, id_col)
+        return mean_average_precision(scored, "_s", label_col, by, id_col)
 
     best = evaluate(w)
     try:
