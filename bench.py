@@ -225,17 +225,25 @@ def run_scaling_build(corpus_path: str, cpus: int) -> dict:
     out = tempfile.mkdtemp(prefix=f"scale_idx_{cpus}_")
     try:
         t0 = time.time()
-        build_index(spark, docs, out, n_shards=8,
-                    hot_df_threshold=max(1000, n_docs // 20), n_salts=8,
-                    id_col="doc_id", text_col="content",
-                    encode_impl=os.environ.get("SPARK_GRAFT_ENCODE_IMPL",
-                                               "arrow"))
+        m = build_index(spark, docs, out, n_shards=8,
+                        hot_df_threshold=max(1000, n_docs // 20), n_salts=8,
+                        id_col="doc_id", text_col="content",
+                        encode_impl=os.environ.get("SPARK_GRAFT_ENCODE_IMPL",
+                                                   "arrow"))
         wall = time.time() - t0
+        # within-run decomposition (manifest lineage): the scan+encode
+        # stage vs the final merge — same process, same host window, so
+        # the split is not polluted by cross-run noise
+        shard_wall = max((s.get("wall_ms", 0) for s in m["shards"].values()),
+                         default=0) / 1000.0
+        merge_wall = m.get("merge_wall_ms", 0) / 1000.0
     finally:
         shutil.rmtree(out, ignore_errors=True)
         spark.stop()
     return {"cpus": cpus, "n_docs": n_docs, "wall_sec": round(wall, 3),
-            "docs_per_sec": round(n_docs / wall, 1)}
+            "docs_per_sec": round(n_docs / wall, 1),
+            "encode_write_wall": round(shard_wall, 3),
+            "merge_wall": round(merge_wall, 3)}
 
 
 def _hw_ceiling() -> dict:
@@ -416,6 +424,7 @@ def run_scaling(n_docs: int, mode: str = "local") -> None:
     res: dict[str, dict[int, list[float]]] = {
         p: {c: [] for c in legs} for p in phases
     }
+    build_splits: dict[int, list[dict]] = {c: [] for c in legs}
 
     def _env(cpus):
         env = dict(os.environ)
@@ -436,7 +445,12 @@ def run_scaling(n_docs: int, mode: str = "local") -> None:
                 )
                 line = out.stdout.strip().splitlines()[-1]
                 if phase == "scaling-build":
-                    res[phase][cpus].append(json.loads(line)["wall_sec"])
+                    parsed = json.loads(line)
+                    res[phase][cpus].append(parsed["wall_sec"])
+                    build_splits[cpus].append(
+                        {k: parsed[k] for k in
+                         ("wall_sec", "encode_write_wall", "merge_wall")
+                         if k in parsed})
                 else:
                     res[phase][cpus].append(float(line))
     fixed = {}
@@ -481,6 +495,9 @@ def run_scaling(n_docs: int, mode: str = "local") -> None:
             eff("tokenize-phase") / (hw["max_speedup_8_to_32"] / 4), 3),
         "all_walls": {p: {str(c): v for c, v in byc.items()}
                       for p, byc in res.items()},
+        # within-run build decomposition (manifest lineage — immune to
+        # cross-run host drift): encode+sink stage vs final merge
+        "build_split": {str(c): v for c, v in build_splits.items()},
     }
     result["measured_unix_ts"] = round(time.time(), 1)
     # persist so the default bench run (the driver's BENCH_r{N}.json)

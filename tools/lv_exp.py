@@ -55,20 +55,29 @@ def _spark():
     )
 
 
-def _bucket_rewrite_stats(postings_dir: str) -> dict:
-    """Rewritten vs hardlinked bucket dirs of an incremental version:
-    a bucket whose files all have st_nlink > 1 was hardlinked from the
-    previous version (metadata-only); any nlink==1 file means the
-    bucket was rewritten."""
-    rewritten = linked = 0
+def _bucket_files(postings_dir: str) -> dict:
+    """{pb dir name: set of part-file names} of a postings version."""
+    out = {}
     for name in os.listdir(postings_dir):
-        if not name.startswith("pb="):
-            continue
-        d = os.path.join(postings_dir, name)
-        files = [f for f in os.listdir(d) if not f.startswith(".")]
-        if files and all(
-            os.stat(os.path.join(d, f)).st_nlink > 1 for f in files
-        ):
+        if name.startswith("pb="):
+            out[name] = {
+                f for f in os.listdir(os.path.join(postings_dir, name))
+                if not f.startswith((".", "_"))
+            }
+    return out
+
+
+def _bucket_rewrite_stats(before: dict, after_dir: str) -> dict:
+    """Rewritten vs preserved bucket dirs of an incremental version.
+    Spark part-file names are unique per write, so a bucket whose file
+    set is IDENTICAL to the pre-merge version was carried over by the
+    hardlink step (metadata-only); a bucket with new file names was
+    rewritten. (st_nlink can't be used: the merge deletes the previous
+    version after the pointer flip, dropping link counts back to 1.)"""
+    after = _bucket_files(after_dir)
+    rewritten = linked = 0
+    for name, files in after.items():
+        if before.get(name) == files:
             linked += 1
         else:
             rewritten += 1
@@ -160,6 +169,9 @@ def main() -> None:
                     " lang string, content string"),
             text_col="content")
         q.awaitTermination(600)
+        pre = load_manifest(d)
+        before = _bucket_files(
+            os.path.join(d, pre.get("postings_dir", "postings")))
         t0 = time.time()
         merge_partials(spark, d, hot_df_threshold=max(1000, n_docs // 20),
                        n_salts=8, incremental=inc)
@@ -168,13 +180,13 @@ def main() -> None:
         row = {"merge_wall": wall, "last_merge": mm["last_merge"]}
         pdir = os.path.join(d, mm.get("postings_dir", "postings"))
         if mm["last_merge"] == "incremental":
-            row.update(_bucket_rewrite_stats(pdir))
+            row.update(_bucket_rewrite_stats(before, pdir))
         merge[name] = row
         # rank identity on queries hitting the STREAM docs
         idx = read_index(spark, d)
         qs = spark.createDataFrame(
             [("sq1", "streamonly1 streamonly2 streamonly3")],
-            "query_id string, text string")
+            "query_id string, query string")
         sigs[name] = tuple(
             (r.query_id, r.doc_id, round(r.score, 6), r.rank)
             for r in search_index(spark, idx, qs, k=10, prune=True)
