@@ -266,6 +266,39 @@ def test_arrow_encode_kernel_identical(spark, tmp_path):
         build_index(spark, docs, str(tmp_path / "bad"), encode_impl="x")
 
 
+def test_decode_kernels_identical(spark, tmp_path):
+    """The mapInArrow serving decode kernel (default) must return
+    result-identical top-k to the mapInPandas twin, pruned and
+    unpruned."""
+    import engine.csearch as cs
+    from engine.corpusgen import synth_corpus
+    from engine.postings import build_index, read_index
+
+    docs = synth_corpus(spark, 200).withColumnRenamed("content", "text")
+    out = str(tmp_path / "idx")
+    build_index(spark, docs, out, n_shards=2, n_salts=2)
+    idx = read_index(spark, out)
+    qs = spark.createDataFrame(
+        [("q1", "def class import"), ("q2", "ident3 rare17 val"),
+         ("q3", "public static void")],
+        "query_id string, query string")
+    res = {}
+    orig = cs.DECODE_IMPL
+    try:
+        for impl in ("pandas", "arrow"):
+            cs.DECODE_IMPL = impl
+            for prune in (False, True):
+                res[(impl, prune)] = sorted(
+                    (r.query_id, r.doc_id, round(r.score, 6), r.rank)
+                    for r in cs.search_index(spark, idx, qs, k=10,
+                                             prune=prune).collect())
+    finally:
+        cs.DECODE_IMPL = orig
+    assert res[("pandas", False)] == res[("arrow", False)]
+    assert res[("pandas", True)] == res[("arrow", True)]
+    assert len(res[("arrow", True)]) > 0
+
+
 # ----------------------------------------------- large-vocab fixtures
 
 
