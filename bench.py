@@ -15,12 +15,16 @@ Stages:
   query_p50        per-query latency p50 over 10 single-query runs
   e2e_uncompressed tokenize->stats->score->topk straight from parquet
 
-Usage: python bench.py [--scaling [--mode local-cluster]]
+Usage: python bench.py [--scaling [--mode local-cluster] [--vocab N]]
   --scaling: run the index build at N and 4N cores in subprocesses and
   report throughput + efficiency. Default mode compares local[8] vs
   local[32] (threads, one JVM); --mode local-cluster compares
   local-cluster[2,4,m] vs [8,4,m] — 2 vs 8 REAL executor JVMs with the
   netty shuffle path, the closest in-sandbox model of N vs 4N executors.
+  --vocab N: generate the corpus with a zipfian N-term vocabulary (the
+  large-vocabulary DESIGN regime, FIXTURES.md 1b) — the final merge
+  then has ~N groups and scales with executors instead of being the
+  fixed-size vocabulary-bound job the ~1k-term corpus forces.
 """
 
 from __future__ import annotations
@@ -41,6 +45,17 @@ _SCALING_EVIDENCE_PATH = os.path.join(_REPO, "bench", "scaling_latest.json")
 #: --scaling --mode local-cluster evidence (process-level executors)
 _SCALING_LC_EVIDENCE_PATH = os.path.join(
     _REPO, "bench", "scaling_lc_latest.json"
+)
+#: --scaling --vocab N evidence: the DESIGN-REGIME runs (zipfian 10^5+
+#: term vocabulary, where the final merge has enough groups to scale
+#: with executors instead of being a fixed-size vocabulary-bound job);
+#: one file per mode so a local re-run can't clobber the
+#: local-cluster (real executor JVM) evidence
+_SCALING_LV_EVIDENCE_PATH = os.path.join(
+    _REPO, "bench", "scaling_lv_latest.json"
+)
+_SCALING_LV_LC_EVIDENCE_PATH = os.path.join(
+    _REPO, "bench", "scaling_lv_lc_latest.json"
 )
 
 
@@ -162,12 +177,17 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # separate `python bench.py --scaling` run at 1M docs — too slow to
     # repeat inline; the attachment is labeled with its own timestamp)
     for key, path in (("scaling", _SCALING_EVIDENCE_PATH),
-                      ("scaling_local_cluster", _SCALING_LC_EVIDENCE_PATH)):
+                      ("scaling_local_cluster", _SCALING_LC_EVIDENCE_PATH),
+                      ("scaling_large_vocab", _SCALING_LV_EVIDENCE_PATH),
+                      ("scaling_large_vocab_local_cluster",
+                       _SCALING_LV_LC_EVIDENCE_PATH)):
         if not os.path.exists(path):
             continue
         with open(path) as fh:
             ev = json.load(fh)
         out[key] = {
+            "mode": ev.get("mode"),
+            "vocab_size": ev.get("vocab_size"),
             "note": "from a prior `bench.py --scaling` run (protocol: "
                     "BASELINE.md); not re-measured in this invocation",
             "masters": ev.get("masters"),
@@ -178,6 +198,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             "build_efficiency": ev.get("build_efficiency"),
             "build_efficiency_minus_fixed": ev.get(
                 "build_efficiency_minus_fixed"),
+            "build_efficiency_vs_hw_ceiling": ev.get(
+                "build_efficiency_vs_hw_ceiling"),
             "phase_efficiency": ev.get("phase_efficiency"),
             "hw_ceiling": ev.get("hw_ceiling"),
             "measured_unix_ts": ev.get("measured_unix_ts"),
@@ -185,20 +207,22 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     return out
 
 
-def _scaling_corpus(n_docs: int) -> str:
+def _scaling_corpus(n_docs: int, vocab_size: int | None = None) -> str:
     """Materialize the deterministic synthetic source-code corpus
     (FIXTURES.md section 1 shape) once; both cluster sizes read the
-    SAME files."""
-    path = f"/tmp/spark_graft_scaling_corpus_{n_docs}"
+    SAME files. vocab_size extends the zipf tail to the large-
+    vocabulary design regime (FIXTURES.md section 1b)."""
+    suffix = f"_v{vocab_size}" if vocab_size else ""
+    path = f"/tmp/spark_graft_scaling_corpus_{n_docs}{suffix}"
     if not os.path.exists(path + "/_SUCCESS"):
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from engine.corpusgen import synth_corpus
 
         spark = _mk_spark(32)
         spark.sparkContext.setLogLevel("ERROR")
-        synth_corpus(spark, n_docs).repartition(32).write.mode(
-            "overwrite"
-        ).parquet(path)
+        synth_corpus(spark, n_docs, vocab_size=vocab_size).repartition(
+            32
+        ).write.mode("overwrite").parquet(path)
         spark.stop()
     return path
 
@@ -383,7 +407,8 @@ def run_fixed_overhead(cpus: int) -> float:
     return round(wall, 3)
 
 
-def run_scaling(n_docs: int, mode: str = "local") -> None:
+def run_scaling(n_docs: int, mode: str = "local",
+                vocab_size: int | None = None) -> None:
     """N vs 4N cores on the identical generated input — the sandbox
     stand-in for N vs 4N executors (BASELINE.md protocol). Two modes:
 
@@ -404,7 +429,7 @@ def run_scaling(n_docs: int, mode: str = "local") -> None:
     are interpretable on shared single-box infrastructure."""
     import subprocess
 
-    corpus = _scaling_corpus(n_docs)
+    corpus = _scaling_corpus(n_docs, vocab_size=vocab_size)
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     if mode == "local-cluster":
         mem = int(os.environ.get("SPARK_GRAFT_LC_MEM_MB", "10240"))
@@ -419,8 +444,24 @@ def run_scaling(n_docs: int, mode: str = "local") -> None:
         metric = ("index-build scaling local[8]->local[32] (sandbox "
                   "stand-in for N->4N executors)")
         evidence_path = _SCALING_EVIDENCE_PATH
+    if vocab_size:
+        # design-regime variant: same protocol, zipfian large
+        # vocabulary — the merge stage now has ~vocab_size groups and
+        # scales with executors instead of being a fixed-size job
+        metric += f" [large-vocab design regime, vocab_size={vocab_size}]"
+        evidence_path = (_SCALING_LV_LC_EVIDENCE_PATH
+                         if mode == "local-cluster"
+                         else _SCALING_LV_EVIDENCE_PATH)
     phases = ("scaling-build", "tokenize-phase", "shuffle-phase",
               "encode-phase")
+    # SPARK_GRAFT_SCALE_PHASES=build limits the run to the end-to-end
+    # build leg (which self-decomposes into encode vs merge via the
+    # manifest's within-run lineage) — the large-vocab design-regime
+    # run uses this: its isolated-phase scaling was already measured on
+    # the standard corpus and the merge is expensive enough that the
+    # full 4-phase matrix would take hours on this host
+    if os.environ.get("SPARK_GRAFT_SCALE_PHASES") == "build":
+        phases = ("scaling-build",)
     res: dict[str, dict[int, list[float]]] = {
         p: {c: [] for c in legs} for p in phases
     }
@@ -466,6 +507,8 @@ def run_scaling(n_docs: int, mode: str = "local") -> None:
             for p, byc in res.items()}
 
     def eff(p):
+        if p not in best:
+            return None
         return round((best[p][8] / best[p][32]) / 4, 3)
 
     w8, w32 = best["scaling-build"][8], best["scaling-build"][32]
@@ -475,6 +518,7 @@ def run_scaling(n_docs: int, mode: str = "local") -> None:
     result = {
         "metric": metric,
         "mode": mode,
+        "vocab_size": vocab_size,
         "masters": {str(c): (legs[c] or f"local[{c}]") for c in legs},
         "n_docs": n_docs,
         "build_wall_8": w8, "build_wall_32": w32,
@@ -491,8 +535,11 @@ def run_scaling(n_docs: int, mode: str = "local") -> None:
             "e2e_build": eff("scaling-build"),
         },
         "hw_ceiling": hw,
-        "tokenize_efficiency_vs_hw_ceiling": round(
-            eff("tokenize-phase") / (hw["max_speedup_8_to_32"] / 4), 3),
+        "tokenize_efficiency_vs_hw_ceiling": (
+            None if eff("tokenize-phase") is None else round(
+                eff("tokenize-phase") / (hw["max_speedup_8_to_32"] / 4), 3)),
+        "build_efficiency_vs_hw_ceiling": round(
+            eff("scaling-build") / (hw["max_speedup_8_to_32"] / 4), 3),
         "all_walls": {p: {str(c): v for c, v in byc.items()}
                       for p, byc in res.items()},
         # within-run build decomposition (manifest lineage — immune to
@@ -529,7 +576,10 @@ if __name__ == "__main__":
         mode = "local"
         if "--mode" in sys.argv:
             mode = sys.argv[sys.argv.index("--mode") + 1]
+        vocab = None
+        if "--vocab" in sys.argv:
+            vocab = int(sys.argv[sys.argv.index("--vocab") + 1])
         run_scaling(int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000")),
-                    mode=mode)
+                    mode=mode, vocab_size=vocab)
     else:
         print(json.dumps(run_bench(sf, cpus)))
