@@ -207,6 +207,17 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     return out
 
 
+def scaling_evidence_path(mode: str, vocab_size: int | None) -> str:
+    """Which evidence file a --scaling run persists to: one per
+    (mode, toy-vs-large-vocab) cell so a re-run in one cell can never
+    clobber another's measured evidence."""
+    if vocab_size:
+        return (_SCALING_LV_LC_EVIDENCE_PATH if mode == "local-cluster"
+                else _SCALING_LV_EVIDENCE_PATH)
+    return (_SCALING_LC_EVIDENCE_PATH if mode == "local-cluster"
+            else _SCALING_EVIDENCE_PATH)
+
+
 def _scaling_corpus(n_docs: int, vocab_size: int | None = None) -> str:
     """Materialize the deterministic synthetic source-code corpus
     (FIXTURES.md section 1 shape) once; both cluster sizes read the
@@ -438,20 +449,16 @@ def run_scaling(n_docs: int, mode: str = "local",
         metric = (f"index-build scaling local-cluster[2,4,{mem}] -> "
                   f"[8,4,{mem}] (2 vs 8 real executor JVMs, netty "
                   "shuffle; N->4N executors)")
-        evidence_path = _SCALING_LC_EVIDENCE_PATH
     else:
         legs = {8: None, 32: None}
         metric = ("index-build scaling local[8]->local[32] (sandbox "
                   "stand-in for N->4N executors)")
-        evidence_path = _SCALING_EVIDENCE_PATH
     if vocab_size:
         # design-regime variant: same protocol, zipfian large
         # vocabulary — the merge stage now has ~vocab_size groups and
         # scales with executors instead of being a fixed-size job
         metric += f" [large-vocab design regime, vocab_size={vocab_size}]"
-        evidence_path = (_SCALING_LV_LC_EVIDENCE_PATH
-                         if mode == "local-cluster"
-                         else _SCALING_LV_EVIDENCE_PATH)
+    evidence_path = scaling_evidence_path(mode, vocab_size)
     phases = ("scaling-build", "tokenize-phase", "shuffle-phase",
               "encode-phase")
     # SPARK_GRAFT_SCALE_PHASES=build limits the run to the end-to-end

@@ -375,3 +375,16 @@ def test_spark_submit_py_files_packaging():
     assert res["index"]["n_docs"] == 600
     assert res["stats"]["n_docs"] == 600
     assert res["query_hits"] >= 1
+
+
+def test_scaling_evidence_paths_are_disjoint_per_cell():
+    """A --scaling re-run in one (mode, vocab) cell must never clobber
+    another cell's persisted evidence (the local lv re-run once
+    overwrote the local-cluster lv result before the split)."""
+    import bench
+
+    cells = [("local", None), ("local", 300000),
+             ("local-cluster", None), ("local-cluster", 300000)]
+    paths = [bench.scaling_evidence_path(m, v) for m, v in cells]
+    assert len(set(paths)) == 4
+    assert all(p.endswith(".json") for p in paths)
