@@ -153,6 +153,12 @@ def _decode_scores(rows: DataFrame, avgdl: float,
     if DECODE_IMPL == "arrow":
         return rows.mapInArrow(
             _decode_score_arrow_iter(avgdl, keep_col), SCORE_ROWS)
+    if DECODE_IMPL != "pandas":
+        # mirror build_index(encode_impl=...): a typo'd env value must
+        # fail loudly, not silently mislabel an A/B measurement
+        raise ValueError(
+            f"SPARK_GRAFT_DECODE_IMPL must be 'arrow' or 'pandas', got "
+            f"{DECODE_IMPL!r}")
     return rows.mapInPandas(_decode_score_iter(avgdl, keep_col), SCORE_ROWS)
 
 
@@ -282,6 +288,10 @@ def search_index(
         raise ValueError(
             f"cache_level must be 'memory', 'disk', or 'none', got "
             f"{cache_level!r}")
+    # release the PREVIOUS call's persisted posting rows on ENTRY — not
+    # just on the pruned branch — so an unpruned (or empty-query) call
+    # after a pruned one can't leave the old plan pinned forever
+    release_serving_cache()
     n_docs, avgdl = index["n_docs"], index["avgdl"]
     enc_avgdl = float(index.get("encode_avgdl") or avgdl) or avgdl
     bfac = max(1.0, avgdl / enc_avgdl) if enc_avgdl > 0 else 1.0
@@ -319,10 +329,6 @@ def search_index(
         )
         return _finish(scored)
 
-    # release the PREVIOUS call's persisted posting rows first: serving
-    # calls are sequential, so only the newest plan stays warm and
-    # repeated calls can no longer accumulate persisted storage
-    release_serving_cache()
     if cache_level == "memory":
         rows = _track_persist(rows.cache())
     elif cache_level == "disk":

@@ -285,7 +285,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     max_bucket: int = MAX_BUCKET,
     with_stats: bool = False,
-) -> DataFrame:
+) -> "DataFrame | tuple[DataFrame, dict]":
     """(doc_a, doc_b, jaccard): near-dup pairs from banded MinHash LSH,
     verified with exact shingle Jaccard. Candidate generation touches
     only (band_key, doc_id); verification joins only same-bucket pairs.
@@ -355,7 +355,8 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
                        id_col: str = "doc_id", text_col: str = "text",
                        max_bucket: int = MAX_BUCKET,
-                       with_stats: bool = False) -> DataFrame:
+                       with_stats: bool = False
+                       ) -> "DataFrame | tuple[DataFrame, dict]":
     """(doc_a, doc_b, hamming): pairs within Hamming distance. Candidate
     generation blocks on 4 x 12-bit chunks (a pair within distance 3
     must agree on at least one chunk — pigeonhole), so the self-join is

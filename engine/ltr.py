@@ -220,9 +220,17 @@ def coordinate_ascent(
                             best, w = m, cand
                 norm = sum(abs(x) for x in w)
                 if norm > 0:
-                    w = [x / norm for x in w]
-                    best = evaluate(w)  # MAP is scale-invariant, but
-                    # re-evaluate so ties keep exact bookkeeping
+                    # MAP is scale-invariant in exact arithmetic, but
+                    # sum(w_i/norm * f_i) is not bit-identical to
+                    # s/norm, so a near-tie can flip rank under fp
+                    # rounding; keep the renorm only when it doesn't
+                    # lose, so the returned metric never drops below
+                    # the tracked best (the monotonicity the
+                    # ranklib_trained gate relies on)
+                    cand = [x / norm for x in w]
+                    m = evaluate(cand)
+                    if m >= best:
+                        w, best = cand, m
     finally:
         feats.unpersist()
     return w, best

@@ -69,6 +69,14 @@ def test_search_index_serving_persists_capped_at_one(spark, tmp_path):
     pruning_stats(spark, idx, qs, k=5)
     assert _n_persisted(spark) == 0
 
+    # release happens on ENTRY, not just on the pruned branch: an
+    # unpruned call after a pruned one must drop the pruned call's plan
+    search_index(spark, idx, qs, k=5, prune=True,
+                 cache_level="memory").collect()
+    assert _n_persisted(spark) == 1
+    search_index(spark, idx, qs, k=5, prune=False).collect()
+    assert _n_persisted(spark) == 0
+
 
 # ------------------------------------------------ hot-bucket visibility
 
@@ -388,3 +396,15 @@ def test_scaling_evidence_paths_are_disjoint_per_cell():
     paths = [bench.scaling_evidence_path(m, v) for m, v in cells]
     assert len(set(paths)) == 4
     assert all(p.endswith(".json") for p in paths)
+
+
+def test_decode_impl_typo_raises(spark, monkeypatch):
+    """A typo'd SPARK_GRAFT_DECODE_IMPL must fail loudly (mirroring
+    build_index's encode_impl validation), not silently serve every
+    query with the pandas kernel and mislabel an A/B measurement."""
+    import engine.csearch as cs
+
+    rows = spark.createDataFrame([], "query_id string, w double")
+    monkeypatch.setattr(cs, "DECODE_IMPL", "arow")
+    with pytest.raises(ValueError, match="DECODE_IMPL"):
+        cs._decode_scores(rows, 10.0, None)

@@ -225,6 +225,13 @@ def main() -> None:
     with open(OUT, "w") as fh:
         json.dump(result, fh)
     spark.stop()
+    # the docstring promises rank identity is ASSERTED: a measurement
+    # whose modes disagree must fail the run, not land as evidence
+    if not (result["bounded_rank_identical"] and serving["rank_identical"]):
+        raise SystemExit(
+            "rank identity violated: bounded_rank_identical="
+            f"{result['bounded_rank_identical']} serving.rank_identical="
+            f"{serving['rank_identical']} — see {OUT}")
 
 
 if __name__ == "__main__":
