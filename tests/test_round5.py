@@ -408,3 +408,21 @@ def test_decode_impl_typo_raises(spark, monkeypatch):
     monkeypatch.setattr(cs, "DECODE_IMPL", "arow")
     with pytest.raises(ValueError, match="DECODE_IMPL"):
         cs._decode_scores(rows, 10.0, None)
+
+
+def test_design_regime_run_summaries_cover_all_snapshots():
+    """The bench JSON must carry EVERY preserved design-regime run (the
+    latest pointer may not be the best host-quietness window)."""
+    import glob
+    import os
+
+    import bench
+
+    runs = bench.design_regime_run_summaries()
+    snaps = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(bench.__file__)),
+        "bench", "scaling_lv_lc_run*.json")))
+    assert [r["run"] for r in runs] == [os.path.basename(p) for p in snaps]
+    for r in runs:
+        assert r["build_efficiency"] is not None
+        assert r["build_efficiency_minus_fixed"] is not None
