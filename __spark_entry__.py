@@ -205,14 +205,41 @@ def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_RECALL_TARGET = 0.8
 
 
+#: deterministic multiplicative jitter amplitude for the planted
+#: near-dup copies: x -> x * (1 + U(-AMP, AMP)) per dimension, noise
+#: derived from xxhash64(vec_id, dim_index). AMP=0.75 lands the
+#: original<->copy cosine around 0.92 — above NEAR_DUP_THRESHOLD with
+#: margin, but far enough from 1.0 that LSH bucket collision is a real
+#: probabilistic event (per-table ~0.33), so the recall gate measures
+#: the banding, not a tautology.
+NEAR_DUP_JITTER_AMP = 0.75
+NEAR_DUP_THRESHOLD = 0.85
+
+
 def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RP-LSH ANN gated by a NUMBER: recall@5 of rp_lsh_topk vs the
-    exact brute-force top-5, computed in-Spark over the same embeddings.
-    The oracle can't replay the LSH plan, but it CAN assert the recall
-    contract: the entry emits one row with recall_ge_target=true only
-    when recall >= 0.8, so a hash-green row proves the ANN path hits its
-    recall target on this data (VERDICT round-1 item 8)."""
-    from engine.similarity import cosine_topk, rp_lsh_topk
+    """LSH recall contracts gated by NUMBERS, one row per path:
+
+    - rp_topk: recall@5 of similarity.rp_lsh_topk vs the exact
+      brute-force top-5, computed in-Spark over the same embeddings
+      (VERDICT round-1 item 8). exact_verify is structurally true (the
+      candidate re-rank IS the exact cosine).
+    - near_dup: pair recall of dedup.embedding_near_dup (the fifth
+      dedup family — RP-LSH candidates + exact-cosine verify) against
+      the in-Spark exact all-pairs truth at the same threshold.
+      exact_verify asserts every emitted pair is in the truth set —
+      precision 1.0 is structural because the verify is exact, and
+      this row proves it end-to-end.
+
+    The embeddings table is near-isotropic (max natural pairwise
+    cosine ~0.51), so near-dup structure is PLANTED deterministically
+    in-Spark: each vec_id gets a copy at vec_id+100000 whose embedding
+    is jittered multiplicatively per-dim with xxhash64-derived uniform
+    noise (original<->copy cosine ~0.92) — no external data, bitwise
+    reproducible. The oracle can't replay the LSH plan, but it CAN
+    assert the contracts: a hash-green row proves recall >= 0.8 AND a
+    non-vacuous truth set (>= 400 planted pairs) AND exact precision."""
+    from engine.dedup import embedding_near_dup
+    from engine.similarity import cosine_expr, cosine_topk, rp_lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qids = list(range(5))
@@ -223,10 +250,49 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = rp_lsh_topk(spark, emb, query_ids=qids, k=5)
     hits = sum((r.query_id, r.vec_id) in brute
                for r in ann.select("query_id", "vec_id").collect())
-    recall = hits / len(brute) if brute else 0.0
+    recall_rp = hits / len(brute) if brute else 0.0
+
+    base = emb.select("vec_id", "embedding")
+    amp = NEAR_DUP_JITTER_AMP
+    copies = base.select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (
+                1.0
+                + (F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(1000))
+                   .cast("double") / 1000.0 - 0.5) * (2.0 * amp)
+            ),
+        ).cast("array<float>").alias("embedding"),
+    )
+    planted = base.unionByName(copies)
+    # exact all-pairs truth at the same threshold/rounding the operator
+    # uses — borderline pairs agree bit-for-bit because both sides
+    # evaluate the identical expression on the identical vectors
+    a = planted.select(F.col("vec_id").alias("doc_a"),
+                       F.col("embedding").alias("vec_a"))
+    b = planted.select(F.col("vec_id").alias("doc_b"),
+                       F.col("embedding").alias("vec_b"))
+    truth = (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(F.round(cosine_expr(F.col("vec_a"), F.col("vec_b")), 6)
+               >= F.lit(NEAR_DUP_THRESHOLD))
+        .select("doc_a", "doc_b")
+    )
+    nd = embedding_near_dup(planted, threshold=NEAR_DUP_THRESHOLD)
+    n_true = truth.count()
+    n_nd = nd.count()
+    n_hit = truth.join(nd, ["doc_a", "doc_b"]).count()
+    recall_nd = n_hit / n_true if n_true else 0.0
+    rows = [
+        ("rp_topk", bool(recall_rp >= ANN_RECALL_TARGET), True),
+        ("near_dup",
+         bool(n_true >= 400 and recall_nd >= ANN_RECALL_TARGET),
+         bool(n_nd > 0 and n_hit == n_nd)),
+    ]
     return spark.createDataFrame(
-        [(len(qids), 5, bool(recall >= ANN_RECALL_TARGET))],
-        "n_queries int, k int, recall_ge_target boolean",
+        rows, "path string, recall_ge_target boolean, exact_verify boolean"
     )
 
 
@@ -1554,7 +1620,16 @@ q AS (SELECT term AS key, c * 1.0 / sum(c) OVER () AS prob FROM gdist)"""
               ON c.query_id = ent.query_id AND c.doc_id = ent.doc_id
         """,
         "embedding_ann_recall": f"""
-            SELECT 5 AS n_queries, 5 AS k, true AS recall_ge_target
+            -- one expected-true row per gated LSH path: rp_topk (ANN
+            -- recall@5 >= 0.8) and near_dup (planted-pair recall >=
+            -- 0.8 with a non-vacuous truth set, exact precision); the
+            -- Spark side only emits true when the measured contracts
+            -- hold on this data
+            SELECT 'rp_topk' AS path, true AS recall_ge_target,
+                   true AS exact_verify
+            UNION ALL
+            SELECT 'near_dup' AS path, true AS recall_ge_target,
+                   true AS exact_verify
         """,
         "embedding_ivf_recall": f"""
             -- one expected-true row per gated IVF path (flat + sq8);

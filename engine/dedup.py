@@ -1,6 +1,6 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Four families, each a standard public technique re-expressed as Spark
+Five families, each a standard public technique re-expressed as Spark
 DataFrame algebra with a DuckDB-expressible twin where practical:
 
   exact_dedup      sha256(content) hash-groupBy; canonical = min doc_id
@@ -12,6 +12,9 @@ DataFrame algebra with a DuckDB-expressible twin where practical:
                    into LSH buckets; same-bucket pairs are candidates
   simhash          64-bit weighted-bit fingerprint via md5-derived bits;
                    near-dups have small Hamming distance
+  embedding_near_dup  RP-LSH bucket candidates over an embedding
+                   column, exact-cosine verified (the near-dup twin of
+                   similarity.rp_lsh_topk — same bucket space)
 
 Portability note: every hash is md5-hex based (identical in Spark,
 DuckDB, and hashlib), never engine-specific xxhash/murmur, so the
@@ -386,6 +389,64 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
         cand.withColumn("hamming", ham.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+    return (pairs, stats) if with_stats else pairs
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    max_bucket: int = MAX_BUCKET,
+    with_stats: bool = False,
+) -> "DataFrame | tuple[DataFrame, dict]":
+    """(doc_a, doc_b, cosine): embedding-cosine near-duplicate pairs.
+
+    The fifth dedup family: candidates come from random-hyperplane LSH
+    bucket co-membership (same md5-derived hyperplanes and bucket
+    strings as similarity.rp_lsh_topk, via the shared
+    lsh_bucket_exprs), then every candidate pair is verified with the
+    EXACT JVM-side cosine and kept only at >= threshold — so emitted
+    pairs are never approximate; only recall is (a true pair whose
+    vectors land in no common bucket across the n_tables tables is
+    missed, probability (1 - (1 - theta/pi)^n_planes)^n_tables for
+    angle theta).
+
+    Scale notes (100 TB): one scan of the embeddings emits all
+    n_tables bucket keys via explode; the self-join is per-bucket,
+    never all-pairs; the exact-cosine verify joins the vectors back
+    for CANDIDATE pairs only (two hash joins on doc ids). Hot buckets
+    (embedding collapse: zero vectors, padding rows) are star-capped
+    exactly like the text families — with_stats=True returns
+    (pairs, lsh_bucket_stats) and warns when the cap engaged.
+
+    dim: embedding dimensionality; probed with a .first() scalar
+    round-trip when None — pass it from a table descriptor on hot
+    paths (same contract as rp_lsh_topk)."""
+    from .similarity import cosine_expr, lsh_bucket_exprs
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    base = embeddings.select(F.col(id_col).alias("doc_id"),
+                             F.col(vec_col).alias("vec"))
+    exprs, _ = lsh_bucket_exprs("vec", dim, n_planes, n_tables)
+    buckets = base.select("doc_id", F.explode(F.array(*exprs)).alias("bucket"))
+    stats = _maybe_bucket_stats(buckets, "bucket", max_bucket, with_stats,
+                                "embedding_near_dup")
+    cand = _capped_candidates(buckets, max_bucket, key="bucket")
+    va = base.select(F.col("doc_id").alias("doc_a"), F.col("vec").alias("vec_a"))
+    vb = base.select(F.col("doc_id").alias("doc_b"), F.col("vec").alias("vec_b"))
+    pairs = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("cosine",
+                    F.round(cosine_expr(F.col("vec_a"), F.col("vec_b")), 6))
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+        .select("doc_a", "doc_b", "cosine")
     )
     return (pairs, stats) if with_stats else pairs
 

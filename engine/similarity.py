@@ -83,6 +83,35 @@ def _hyperplanes(dim: int, n_planes: int, table: int) -> list[list[float]]:
     return planes
 
 
+def lsh_bucket_exprs(
+    vec_col: str, dim: int, n_planes: int, n_tables: int
+) -> tuple[list, int]:
+    """One sign-bit bucket-string Column per LSH table over `vec_col`
+    (each value prefixed 't<table>:', fixed-width table id). Shared by
+    rp_lsh_topk (ANN search) and dedup.embedding_near_dup (near-dup
+    pair generation) so both hash into IDENTICAL bucket spaces.
+
+    Returns (exprs, tw) where tw is the zero-pad width of the table id
+    — multiprobe bit-flip positions depend on it. The table-prefix
+    digit width grows with n_tables so those positions stay correct at
+    any table count (>= 100 included)."""
+    tw = max(2, len(str(max(n_tables - 1, 0))))
+
+    def bucket_col(table: int):
+        planes = _hyperplanes(dim, n_planes, table)
+        bits = []
+        for p in planes:
+            arr = F.array(*[F.lit(float(v)) for v in p])
+            bits.append(
+                F.when(_dot(F.transform(F.col(vec_col),
+                                        lambda x: x.cast("double")),
+                            arr) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            )
+        return F.concat(F.lit(f"t{table:0{tw}d}:"), *bits)
+
+    return [bucket_col(t) for t in range(n_tables)], tw
+
+
 def rp_lsh_topk(
     spark,
     embeddings: DataFrame,
@@ -111,22 +140,7 @@ def rp_lsh_topk(
     descriptor instead."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
-    # table-prefix digit width grows with n_tables so multiprobe bit
-    # positions stay correct at any table count (>= 100 included)
-    tw = max(2, len(str(max(n_tables - 1, 0))))
-
-    def bucket_col(table: int):
-        planes = _hyperplanes(dim, n_planes, table)
-        bits = []
-        for p in planes:
-            arr = F.array(*[F.lit(float(v)) for v in p])
-            bits.append(
-                F.when(_dot(F.transform(F.col("vec"), lambda x: x.cast("double")),
-                            arr) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            )
-        # fixed-width table prefix so multiprobe bit positions are
-        # table-independent
-        return F.concat(F.lit(f"t{table:0{tw}d}:"), *bits)
+    exprs, tw = lsh_bucket_exprs("vec", dim, n_planes, n_tables)
 
     # ONE scan of embeddings: emit all n_tables bucket keys as an array
     # and explode — not n_tables unionAll re-scans of the source
@@ -134,8 +148,7 @@ def rp_lsh_topk(
                              F.col(vec_col).alias("vec"))
     bucketed = base.select(
         "vec_id", "vec",
-        F.explode(F.array(*[bucket_col(t) for t in range(n_tables)])
-                  ).alias("bucket"),
+        F.explode(F.array(*exprs)).alias("bucket"),
     )
 
     qb = bucketed.where(F.col("vec_id").isin(query_ids)).select(

@@ -426,3 +426,82 @@ def test_design_regime_run_summaries_cover_all_snapshots():
     for r in runs:
         assert r["build_efficiency"] is not None
         assert r["build_efficiency_minus_fixed"] is not None
+
+
+# ------------------------------------------- embedding-cosine near-dup
+
+
+def _clustered_embeddings(spark, n_groups=8, dim=16):
+    """Deterministic planted near-dups: per group, a base vector and a
+    slightly-jittered copy (high cosine), groups mutually far apart."""
+    import hashlib
+
+    rows = []
+    for g in range(n_groups):
+        base = []
+        for j in range(dim):
+            h = hashlib.md5(f"g{g}|{j}".encode()).hexdigest()
+            base.append(int(h[:8], 16) / 2**31 - 1.0)
+        jit = []
+        for j in range(dim):
+            h = hashlib.md5(f"j{g}|{j}".encode()).hexdigest()
+            jit.append(base[j] * (1.0 + 0.25 * (int(h[:8], 16) / 2**31 - 1.0)))
+        rows.append((2 * g, base))
+        rows.append((2 * g + 1, jit))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_embedding_near_dup_finds_planted_pairs_exactly(spark):
+    """Every planted (base, jitter) pair is found; every emitted pair's
+    cosine matches a numpy recompute at the operator's rounding; no
+    cross-group pair (cosine far below threshold) is emitted."""
+    import numpy as np
+
+    from engine.dedup import embedding_near_dup
+
+    emb = _clustered_embeddings(spark)
+    pairs = embedding_near_dup(emb, threshold=0.9, dim=16).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert got == {(2 * g, 2 * g + 1) for g in range(8)}
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    for r in pairs:
+        a, b = vecs[r.doc_a], vecs[r.doc_b]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.cosine - round(want, 6)) < 2e-6
+
+
+def test_embedding_near_dup_hot_bucket_cap_and_stats(spark):
+    """Identical vectors collapse into one bucket per table; with a
+    tiny cap the star engages, warns, and still links every member to
+    the canonical (min doc_id)."""
+    from engine.dedup import embedding_near_dup
+
+    vec = [0.5, -0.25, 0.125, 1.0]
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(6)], "vec_id long, embedding array<float>"
+    )
+    with pytest.warns(UserWarning, match="STAR"):
+        pairs, stats = embedding_near_dup(emb, threshold=0.99, dim=4,
+                                          max_bucket=2, with_stats=True)
+    assert stats["n_hot"] > 0
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert {(0, i) for i in range(1, 6)} <= got
+
+
+def test_embedding_near_dup_shares_rp_lsh_bucket_space(spark):
+    """dedup candidates and ANN search hash into identical buckets —
+    the helper is shared, so a pre-bucketed 100 TB embeddings layout
+    serves BOTH operators."""
+    from engine.similarity import lsh_bucket_exprs
+
+    emb = _clustered_embeddings(spark)
+    e1, tw1 = lsh_bucket_exprs("embedding", 16, 6, 6)
+    e2, tw2 = lsh_bucket_exprs("embedding", 16, 6, 6)
+    assert tw1 == tw2 == 2
+    df1 = emb.select(F.array(*e1).alias("b")).collect()
+    df2 = emb.select(F.array(*e2).alias("b")).collect()
+    assert [r.b for r in df1] == [r.b for r in df2]
