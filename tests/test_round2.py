@@ -231,6 +231,10 @@ def test_byte_histogram_vectorized_matches_bincount(spark):
 def test_ann_recall_entry_is_green_shape(spark):
     import __spark_entry__ as e
 
-    row = e.q_embedding_ann_recall(spark, "/root/testdata/sf0.001").collect()
-    assert len(row) == 1
-    assert row[0]["recall_ge_target"] is True
+    rows = e.q_embedding_ann_recall(spark, "/root/testdata/sf0.001").collect()
+    # round 4 folded the fifth dedup family (embedding_near_dup) into
+    # this entry as a second union-labeled path — both must be green
+    assert sorted(r["path"] for r in rows) == ["near_dup", "rp_topk"]
+    for r in rows:
+        assert r["recall_ge_target"] is True, r
+        assert r["exact_verify"] is True, r
