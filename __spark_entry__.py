@@ -105,6 +105,44 @@ def _index_dir(spark: SparkSession, sf_dir: str) -> str:
     return _INDEX_CACHE[sf_dir]
 
 
+_DELETED_INDEX_CACHE: dict[str, str] = {}
+
+# the deterministic delete set for the deletes-path gate: 10% of docs
+_DELETE_PRED = "doc_id % 10 = 3"
+
+
+def _deleted_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Copy of the batch index with `doc_id % 10 == 3` deleted
+    (postings.delete_docs — Lucene deleteDocuments analog) and then
+    physically expunged (compact_tombstones — forceMergeDeletes
+    analog). After compaction the index must be byte-equivalent in
+    results to a from-scratch build over the survivors, which is
+    exactly what the oracle SQL computes."""
+    if sf_dir not in _DELETED_INDEX_CACHE:
+        import shutil
+        import tempfile
+
+        from engine.postings import compact_tombstones, delete_docs
+
+        src = _index_dir(spark, sf_dir)
+        out = os.path.join(tempfile.mkdtemp(prefix="bm25_deleted_"), "idx")
+        shutil.copytree(src, out)
+        delete_docs(spark, out,
+                    _docs(spark, sf_dir).where(_DELETE_PRED).select("doc_id"))
+        compact_tombstones(spark, out, hot_df_threshold=100, n_salts=4)
+        _DELETED_INDEX_CACHE[sf_dir] = out
+    return _DELETED_INDEX_CACHE[sf_dir]
+
+
+def _deleted_compressed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.csearch import search_index
+    from engine.postings import read_index
+
+    idx = read_index(spark, _deleted_index_dir(spark, sf_dir))
+    return search_index(spark, idx, queries_df(spark), k=10, prune=True,
+                        round_dp=4)
+
+
 def _batch_compressed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star path: blocked delta+varbyte postings (checkpointed,
     skew-salted) served with block-max pruning — rank-identical to the
@@ -120,19 +158,25 @@ def _batch_compressed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bm25_topk_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BOTH compressed-serving paths in one gate row (the round-2 judge
-    asked for the streaming check to share the core-topk slot whose SQL
-    it already equals): the batch checkpointed build and the Structured
-    Streaming incremental build, each searched with block-max pruning,
-    union-labeled by a `path` column. The order-insensitive value hash
-    only matches the oracle (every top-k row duplicated under both
-    labels) when EACH path is rank-identical to the plain SQL — a defect
-    in either breaks the hash, so the single row evidences both."""
+    """ALL THREE compressed-serving paths in one gate row (the round-2
+    judge asked for the streaming check to share the core-topk slot
+    whose SQL it already equals): the batch checkpointed build, the
+    Structured Streaming incremental build, and the deletes path
+    (delete_docs + compact_tombstones — Lucene deleteDocuments +
+    forceMergeDeletes, LuceneIndexBuilder.java's IndexWriter lifecycle),
+    each searched with block-max pruning, union-labeled by a `path`
+    column. The order-insensitive value hash only matches the oracle
+    when EACH path is rank-identical to its plain SQL — batch/stream
+    against the full corpus, deleted against a from-scratch BM25 over
+    the surviving (doc_id % 10 != 3) corpus — so the single row
+    evidences all three."""
     batch = _batch_compressed_topk(spark, sf_dir).withColumn(
         "path", F.lit("batch"))
     stream = _streaming_topk(spark, sf_dir).withColumn(
         "path", F.lit("stream"))
-    return batch.unionAll(stream)
+    deleted = _deleted_compressed_topk(spark, sf_dir).withColumn(
+        "path", F.lit("deleted"))
+    return batch.unionAll(stream).unionAll(deleted)
 
 
 def q_trec_runfile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1007,14 +1051,19 @@ _QTOK = f"""
     ) WHERE term NOT IN ({stopword_sql_list()})
 """
 
-_BM25_CTES = f"""
-WITH tok AS ({_TOK}),
+def _bm25_ctes(doc_src: str = "documents") -> str:
+    """BM25 oracle CTE chain over an arbitrary documents source — a
+    table name or a parenthesized subquery (the deleted-path gate passes
+    the survivor filter, mirroring that a compacted index must equal a
+    from-scratch build over the survivors)."""
+    return f"""
+WITH tok AS ({tokenize_sql(doc_src)}),
 tf AS (SELECT term, doc_id, count(*)::INT AS tf FROM tok GROUP BY term, doc_id),
 dl AS (SELECT d.doc_id, count(t.term)::BIGINT AS dl
-       FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id),
+       FROM {doc_src} d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id),
 stats AS (SELECT count(*) AS n_docs,
                  (SELECT count(*) FROM tok) * 1.0 / count(*) AS avgdl
-          FROM documents),
+          FROM {doc_src}),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 qt AS (SELECT query_id, term, count(*) AS qtf FROM ({_QTOK}) GROUP BY query_id, term),
 scored AS (
@@ -1031,8 +1080,10 @@ scored AS (
 )
 """
 
-_TOPK_SQL = f"""
-{_BM25_CTES}
+
+def _topk_sql(doc_src: str = "documents") -> str:
+    return f"""
+{_bm25_ctes(doc_src)}
 SELECT query_id, doc_id, score, rank FROM (
     SELECT query_id, doc_id, ROUND(score, 4) AS score,
            ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1040,6 +1091,11 @@ SELECT query_id, doc_id, score, rank FROM (
     FROM scored
 ) WHERE rank <= 10
 """
+
+
+_BM25_CTES = _bm25_ctes()
+
+_TOPK_SQL = _topk_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1074,12 +1130,20 @@ def oracle_sql() -> dict[str, str]:
         # every top-k row duplicated under both serving-path labels —
         # the Spark side unions the batch-compressed and the
         # streaming-incremental path, each of which must independently
-        # equal the plain top-k for the hash to match
+        # equal the plain top-k for the hash to match; the third label
+        # is the deletes path: delete_docs(doc_id % 10 = 3) then
+        # compact_tombstones, whose results must equal BM25 over the
+        # SURVIVING corpus (stats, df, avgdl all re-baselined) — the
+        # oracle computes that from scratch on the filtered table
         "bm25_topk_compressed": f"""
             WITH topk AS ({_TOPK_SQL})
             SELECT query_id, doc_id, score, rank, p.path
             FROM topk CROSS JOIN
                  (SELECT unnest(['batch', 'stream']) AS path) p
+            UNION ALL
+            SELECT query_id, doc_id, score, rank, 'deleted' AS path
+            FROM ({_topk_sql(
+                  "(SELECT * FROM documents WHERE NOT doc_id % 10 = 3)")})
         """,
         "trec_runfile": f"""
             WITH topk AS ({_TOPK_SQL})

@@ -292,6 +292,26 @@ def search_index(
     # just on the pruned branch — so an unpruned (or empty-query) call
     # after a pruned one can't leave the old plan pinned forever
     release_serving_cache()
+    # Standing tombstones (postings.delete_docs): Lucene-liveDocs
+    # semantics — deleted docs vanish from results immediately, while
+    # n_docs/avgdl/df keep counting them until compact_tombstones
+    # re-baselines. The set is anti-joined in TWO places: (a) the final
+    # scores before the top-k window, and (b) the phase-1 scores before
+    # the theta threshold — a theta supported by deleted docs would be
+    # too high for the surviving corpus and could prune a surviving doc
+    # out of the true top-k. Block-max bounds may still include deleted
+    # docs' tf: upper bounds stay valid, just less sharp. Broadcast:
+    # the tombstone set is meant to stay small relative to the index
+    # (compact when it grows — same guidance as Lucene's
+    # forceMergeDeletes).
+    tombs = index.get("tombstones")
+    if tombs is not None:
+        tombs = F.broadcast(tombs.select("doc_id"))
+
+    def _live(scored: DataFrame) -> DataFrame:
+        return (scored.join(tombs, "doc_id", "left_anti")
+                if tombs is not None else scored)
+
     n_docs, avgdl = index["n_docs"], index["avgdl"]
     enc_avgdl = float(index.get("encode_avgdl") or avgdl) or avgdl
     bfac = max(1.0, avgdl / enc_avgdl) if enc_avgdl > 0 else 1.0
@@ -314,6 +334,7 @@ def search_index(
     )
 
     def _finish(scored: DataFrame) -> DataFrame:
+        scored = _live(scored)
         if round_dp is not None:
             scored = scored.withColumn("score", F.round("score", round_dp))
         return _topk(scored, k)
@@ -345,10 +366,10 @@ def search_index(
     rare = rare.withColumn(
         "rare_term", F.min("term").over(wmax)
     ).where(F.col("term") == F.col("rare_term"))
-    phase1 = _decode_scores(
+    phase1 = _live(_decode_scores(
         rare.select("query_id", "w", "doc_bytes", "tf_bytes", "dl_bytes",
                     "doc_off", "tf_off", "dl_off"),
-        avgdl, None)
+        avgdl, None))
     wrank = Window.partitionBy("query_id").orderBy(
         F.col("term_score").desc(), F.col("doc_id").asc()
     )

@@ -1253,4 +1253,260 @@ def read_index(spark: SparkSession, out_dir: str) -> dict:
         # indexes): csearch uses it to prune whole partitions for the
         # query's terms
         "pb_mod": m.get("pb_mod"),
+        # docs marked deleted but not yet compacted away (None when the
+        # index has no standing tombstones): serving anti-joins results
+        # against this set — delete_docs docstring has the semantics
+        "tombstones": read_tombstones(spark, out_dir),
     }
+
+
+# --------------------------------------------------------- deletes/compaction
+
+TOMBSTONES_SCHEMA = "doc_id long"
+
+DECODED_SHARD_SCHEMA = StructType(
+    [
+        StructField("shard", StringType(), False),
+        StructField("tid", LongType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("tf", LongType(), False),
+        StructField("dl", LongType(), False),
+    ]
+)
+
+SHARD_ENC_SCHEMA = StructType(
+    [StructField("shard", StringType(), False)] + list(STREAM_ENC_SCHEMA)
+)
+
+
+def delete_docs(spark: SparkSession, out_dir: str, doc_ids) -> int:
+    """Mark documents deleted (reference analog: Lucene
+    IndexWriter.deleteDocuments + the per-segment liveDocs bitset —
+    deleted docs stop appearing in results immediately, but stay
+    physically present until a merge expunges them).
+
+    doc_ids: iterable of ints or a (doc_id) DataFrame. Appends to the
+    ``tombstones/`` parquet table; serving (csearch.search_index)
+    anti-joins every result set against it. Lucene-parity semantics
+    until compact_tombstones runs: collection stats (n_docs, avgdl) and
+    per-term df still COUNT the deleted docs — exactly as Lucene's
+    docFreq/sumTotalTermFreq ignore liveDocs — so surviving docs keep
+    their pre-delete scores; compaction re-baselines everything. A
+    tombstoned doc_id stays hidden even if re-ingested by the stream
+    until the next compaction clears the tombstone — delete/re-add
+    cycles should compact between the two.
+
+    Returns the total number of distinct standing tombstones."""
+    if isinstance(doc_ids, DataFrame):
+        df = doc_ids.select(F.col("doc_id").cast("long")).distinct()
+    else:
+        df = spark.createDataFrame(
+            [(int(d),) for d in doc_ids], TOMBSTONES_SCHEMA).distinct()
+    path = os.path.join(out_dir, "tombstones")
+    df.write.mode("append").parquet(path)
+    n = int(spark.read.schema(TOMBSTONES_SCHEMA).parquet(path)
+            .select("doc_id").distinct().count())
+    manifest = load_manifest(out_dir)
+    manifest["n_tombstones"] = n
+    _save_manifest(out_dir, manifest)
+    return n
+
+
+def read_tombstones(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """The standing tombstone set as a distinct (doc_id) DataFrame, or
+    None when the index has none (no dir, or an empty dir left by an
+    interrupted cleanup)."""
+    path = os.path.join(out_dir, "tombstones")
+    if not os.path.isdir(path) or not any(
+            f.endswith(".parquet") for f in os.listdir(path)):
+        return None
+    return (spark.read.schema(TOMBSTONES_SCHEMA).parquet(path)
+            .select("doc_id").distinct())
+
+
+def _decode_partials_shard_fn(batches):
+    """mapInPandas: encoded partial rows (shard partition column kept)
+    -> long (shard, tid, doc_id, tf, dl) posting rows. The compaction
+    twin of _decode_partials_fn — shard is carried so the filtered
+    rewrite can restore the exact partials/shard=X layout."""
+    for pdf in batches:
+        ss, ts, ds, tfs, dls = [], [], [], [], []
+        for r in pdf.itertuples(index=False):
+            d, t, dl = decode_blocked(r.doc_bytes, r.tf_bytes, r.dl_bytes,
+                                      r.doc_off, r.tf_off, r.dl_off)
+            ss.append(np.full(d.size, str(r.shard), dtype=object))
+            ts.append(np.full(d.size, r.tid, dtype=np.int64))
+            ds.append(d); tfs.append(t); dls.append(dl)
+        if not ds:
+            continue
+        yield pd.DataFrame({
+            "shard": np.concatenate(ss), "tid": np.concatenate(ts),
+            "doc_id": np.concatenate(ds), "tf": np.concatenate(tfs),
+            "dl": np.concatenate(dls),
+        })
+
+
+def _reencode_shard_tid_fn(avgdl: float):
+    """Grouped-map kernel: one (shard, tid) group of decoded posting
+    rows -> one encoded partial row tagged with its shard."""
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        enc = encode_blocked(pdf["doc_id"].to_numpy(np.int64),
+                             pdf["tf"].to_numpy(np.int64),
+                             pdf["dl"].to_numpy(np.int64), avgdl)
+        return pd.DataFrame(
+            {"shard": [str(key[0])], **_enc_dict(key[1], len(pdf), enc)})
+
+    return encode
+
+
+def _finish_compact_swap(out_dir: str) -> None:
+    """The (re-runnable) destructive half of compact_tombstones: promote
+    whichever filtered tmp tables exist. Each swap is conditioned on its
+    OWN tmp's _SUCCESS, so a crash anywhere inside the window is
+    finished by re-entry — a tmp disappears only via its own rename, and
+    the journal entry is cleared last."""
+    swaps = (
+        ("_compact_partials_tmp", "partials"),
+        ("_compact_doc_stats_tmp", "doc_stats"),
+        ("_compact_doc_stats_stream_tmp", "doc_stats_stream"),
+    )
+    for tmp_name, final_name in swaps:
+        tmp = os.path.join(out_dir, tmp_name)
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            final = os.path.join(out_dir, final_name)
+            shutil.rmtree(final, ignore_errors=True)
+            os.rename(tmp, final)
+    manifest = load_manifest(out_dir)
+    manifest.pop("compact_pending", None)
+    _save_manifest(out_dir, manifest)
+
+
+def compact_tombstones(
+    spark: SparkSession,
+    out_dir: str,
+    hot_df_threshold: int = 1 << 17,
+    n_salts: int = 8,
+    pb_mod: int | str = "auto",
+) -> dict:
+    """Physically expunge tombstoned docs (reference analog: Lucene
+    forceMergeDeletes — the merge that drops non-live docs from
+    segments). After it, the index is byte-for-byte the index of the
+    surviving corpus: partials, doc_stats, collection stats, per-term
+    df, and the final postings table all exclude the deleted docs, and
+    search results are rank-identical to a from-scratch build on the
+    surviving docs (pytest-gated).
+
+    Dataflow (all distributed, no driver-side doc sets): decode every
+    partial shard to long posting rows (shard kept), anti-join the
+    tombstones, re-encode per (shard, tid) group, and rewrite the
+    partials dir in its original shard=X layout; filter doc_stats (+
+    the stream table when present) the same way; refresh collection
+    stats; run a full (re-baselining) merge_partials; only then clear
+    the tombstones.
+
+    Crash safety: tombstones stay standing — and serving keeps
+    filtering — until the final merge completes, so a crash at ANY
+    point leaves an index that NEVER serves a deleted doc, and a re-run
+    finishes the job. The partials/doc_stats swap window is journaled
+    (manifest 'compact_pending'); each swap is conditioned on its own
+    tmp _SUCCESS so recovery is idempotent. Filtering an
+    already-filtered table is a no-op, so replays are harmless. One
+    honest caveat: in the window between the stats refresh and the
+    merge, serving scores mix re-baselined collection stats with the
+    old postings' df — internally consistent (pruned == unpruned,
+    pytest-pinned) and monotonically converging to the post-compaction
+    scores, but not equal to either endpoint; Lucene serves the same
+    kind of hybrid while a merge is in flight.
+
+    Returns the post-merge manifest. No-op (returns the manifest
+    unchanged) when no tombstones stand."""
+    manifest = load_manifest(out_dir)
+    if manifest.get("compact_pending"):
+        _finish_compact_swap(out_dir)
+        manifest = load_manifest(out_dir)
+    tombs = read_tombstones(spark, out_dir)
+    if tombs is None:
+        return manifest
+
+    part_dir = os.path.join(out_dir, "partials")
+    tmp = os.path.join(out_dir, "_compact_partials_tmp")
+    ds_tmp = os.path.join(out_dir, "_compact_doc_stats_tmp")
+    dss_tmp = os.path.join(out_dir, "_compact_doc_stats_stream_tmp")
+    for stale in (tmp, ds_tmp, dss_tmp):
+        shutil.rmtree(stale, ignore_errors=True)
+    avgdl = float(manifest["stats"]["avgdl"]) or 200.0
+
+    has_partials = os.path.isdir(part_dir) and any(
+        s.startswith("shard=") for s in os.listdir(part_dir))
+    shard_counts: dict[str, int] = {}
+    if has_partials:
+        parts = spark.read.option("basePath", part_dir).parquet(part_dir)
+        dec = parts.select(
+            F.col("shard").cast("string").alias("shard"), "tid",
+            "doc_bytes", "tf_bytes", "dl_bytes",
+            "doc_off", "tf_off", "dl_off",
+        ).mapInPandas(_decode_partials_shard_fn, DECODED_SHARD_SCHEMA)
+        kept = dec.join(tombs, "doc_id", "left_anti")
+        enc = kept.groupBy("shard", "tid").applyInPandas(
+            _reencode_shard_tid_fn(avgdl), SHARD_ENC_SCHEMA)
+        enc.repartition("shard").write.mode("overwrite").partitionBy(
+            "shard").parquet(tmp)
+        # post-filter lineage counts per shard (small: one row per shard)
+        shard_counts = {
+            str(r["shard"]): int(r["n"])
+            for r in spark.read.option("basePath", tmp).parquet(tmp)
+            .groupBy("shard").agg(F.sum("n_docs").alias("n")).collect()
+        }
+
+    bp = os.path.join(out_dir, "doc_stats")
+    if os.path.exists(bp):
+        (spark.read.schema(DOC_STATS_SCHEMA).parquet(bp)
+         .join(tombs, "doc_id", "left_anti")
+         .write.mode("overwrite").parquet(ds_tmp))
+    sp = os.path.join(out_dir, "doc_stats_stream")
+    if os.path.exists(sp):
+        (spark.read.schema(STREAM_DOC_STATS_SCHEMA).parquet(sp)
+         .join(tombs, "doc_id", "left_anti")
+         .write.mode("overwrite").parquet(dss_tmp))
+    n_tombs = tombs.count()
+
+    # journal THEN swap (same contract as the stream-dedup swap): once
+    # the entry is durable every crash inside the destructive window is
+    # finished by the recovery branch on re-entry
+    manifest = load_manifest(out_dir)
+    manifest["compact_pending"] = {"n_tombstones": int(n_tombs)}
+    _save_manifest(out_dir, manifest)
+    _finish_compact_swap(out_dir)
+
+    # lineage: replace per-shard posting counts with the post-filter
+    # values; shards whose every posting was deleted keep their row
+    # (count 0) for batch shards — _reconcile_stream_lineage drops
+    # stream rows whose dir vanished
+    manifest = load_manifest(out_dir)
+    for key, row in manifest["shards"].items():
+        if "n_postings" in row:
+            row["n_postings"] = shard_counts.get(str(key), 0)
+    _reconcile_stream_lineage(part_dir, manifest)
+    _save_manifest(out_dir, manifest)
+
+    # collection stats now reflect the survivors (refresh_stats reads
+    # the already-filtered doc_stats tables)
+    manifest = refresh_stats(spark, out_dir, manifest)
+
+    # full re-baselining merge: df recomputed from the filtered
+    # partials, bounds re-encoded at the refreshed avgdl
+    manifest = merge_partials(
+        spark, out_dir, hot_df_threshold=hot_df_threshold,
+        n_salts=n_salts, incremental=False, pb_mod=pb_mod)
+
+    # tombstones applied everywhere — clear them LAST (serving filtered
+    # against them up to this point, so a crash above never resurrects
+    # a deleted doc)
+    shutil.rmtree(os.path.join(out_dir, "tombstones"), ignore_errors=True)
+    manifest = load_manifest(out_dir)
+    manifest["n_tombstones"] = 0
+    manifest["compacted_removed"] = int(
+        manifest.get("compacted_removed", 0) + n_tombs)
+    _save_manifest(out_dir, manifest)
+    return manifest
