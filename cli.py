@@ -360,6 +360,43 @@ def cmd_merge(args) -> None:
     }))
 
 
+def cmd_delete(args) -> None:
+    """Beyond-reference ops: tombstone documents (Lucene
+    deleteDocuments analog — engine/postings.delete_docs). --ids takes
+    literal doc_ids; --ids-parquet a parquet table with a doc_id
+    column. Deleted docs vanish from `query` results immediately;
+    `compact` expunges them physically."""
+    from engine.postings import delete_docs
+
+    spark = _spark("cli-delete")
+    if args.ids_parquet:
+        ids = spark.read.parquet(args.ids_parquet).select("doc_id")
+    elif args.ids:
+        ids = [int(x) for x in args.ids.split(",") if x.strip()]
+    else:
+        raise SystemExit("delete: pass --ids or --ids-parquet")
+    n = delete_docs(spark, args.index, ids)
+    print(json.dumps({"n_tombstones": n}))
+
+
+def cmd_compact(args) -> None:
+    """Beyond-reference ops: physically expunge tombstoned docs and
+    re-baseline stats/df (Lucene forceMergeDeletes analog —
+    engine/postings.compact_tombstones). Crash-safe: re-running after
+    any interruption finishes the job."""
+    from engine.postings import compact_tombstones
+
+    spark = _spark("cli-compact")
+    m = compact_tombstones(spark, args.index, hot_df_threshold=args.hot_df,
+                           n_salts=args.salts)
+    print(json.dumps({
+        "n_tombstones": m.get("n_tombstones", 0),
+        "compacted_removed": m.get("compacted_removed", 0),
+        "n_docs": m["stats"]["n_docs"],
+        "avgdl": m["stats"]["avgdl"],
+    }))
+
+
 def cmd_dedup(args) -> None:
     """Beyond-reference pipeline op: per-doc dedup verdict
     (doc_id, canonical_id, is_dup) -> parquet. --method exact uses the
@@ -468,6 +505,19 @@ def main() -> None:
     p.add_argument("--salts", type=int, default=8)
     p.add_argument("--hot-df", type=int, default=1 << 17)
     p.set_defaults(fn=cmd_merge)
+
+    p = sub.add_parser("delete")
+    p.add_argument("--index", required=True)
+    p.add_argument("--ids", help="comma-separated doc_ids")
+    p.add_argument("--ids-parquet",
+                   help="parquet table with a doc_id column")
+    p.set_defaults(fn=cmd_delete)
+
+    p = sub.add_parser("compact")
+    p.add_argument("--index", required=True)
+    p.add_argument("--salts", type=int, default=8)
+    p.add_argument("--hot-df", type=int, default=1 << 17)
+    p.set_defaults(fn=cmd_compact)
 
     p = sub.add_parser("dedup")
     _add_corpus_args(p)

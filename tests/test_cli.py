@@ -112,6 +112,41 @@ def test_cli_stream_ingest_merge_dedup(spark, tmp_path, capsys):
     assert dd["n_docs"] == 500 and dd["n_dups"] >= 0
 
 
+def test_cli_delete_compact_roundtrip(spark, tmp_path, capsys):
+    """The deletes lifecycle as ops subcommands: index -> delete (a doc
+    vanishes from query results while stats still count it) -> compact
+    (stats re-baseline, tombstones cleared) -> delete --ids-parquet."""
+    idx = str(tmp_path / "del_idx")
+    _run(capsys, "index", "--sf", "0.001", "--out", idx,
+         "--shards", "2", "--salts", "2")
+
+    out = _run(capsys, "query", "--index", idx, "--query",
+               "merge row batch", "--k", "3")
+    top_doc = int(out[0].split("\t")[2])
+
+    out = _run(capsys, "delete", "--index", idx, "--ids", str(top_doc))
+    assert json.loads(out[-1])["n_tombstones"] == 1
+    out = _run(capsys, "query", "--index", idx, "--query",
+               "merge row batch", "--k", "3")
+    assert top_doc not in {int(ln.split("\t")[2]) for ln in out}
+    st = json.loads(_run(capsys, "stats", "--index", idx)[-1])
+    assert st["n_docs"] == 500  # Lucene parity: stats count tombstoned docs
+
+    out = _run(capsys, "compact", "--index", idx, "--salts", "2")
+    c = json.loads(out[-1])
+    assert c["n_tombstones"] == 0 and c["compacted_removed"] == 1
+    assert c["n_docs"] == 499
+    out = _run(capsys, "query", "--index", idx, "--query",
+               "merge row batch", "--k", "3")
+    assert top_doc not in {int(ln.split("\t")[2]) for ln in out}
+
+    ids = str(tmp_path / "del_ids")
+    spark.createDataFrame([(int(ln.split("\t")[2]),) for ln in out[:2]],
+                          "doc_id long").write.parquet(ids)
+    out = _run(capsys, "delete", "--index", idx, "--ids-parquet", ids)
+    assert json.loads(out[-1])["n_tombstones"] == 2
+
+
 def test_cli_linker_out_of_scope(spark):
     with pytest.raises(SystemExit, match="out of scope"):
         cli.cmd_linker(None)
