@@ -57,6 +57,19 @@ _SCALING_LV_EVIDENCE_PATH = os.path.join(
 _SCALING_LV_LC_EVIDENCE_PATH = os.path.join(
     _REPO, "bench", "scaling_lv_lc_latest.json"
 )
+#: --scaling-query evidence: the SERVING-side N->4N protocol (the north
+#: rule's second headline metric); one file per (mode, vocab) cell,
+#: mirroring scaling_evidence_path
+_SCALING_QUERY_EVIDENCE_PATHS = {
+    ("local", False): os.path.join(_REPO, "bench",
+                                   "scaling_query_latest.json"),
+    ("local-cluster", False): os.path.join(_REPO, "bench",
+                                           "scaling_query_lc_latest.json"),
+    ("local", True): os.path.join(_REPO, "bench",
+                                  "scaling_query_lv_latest.json"),
+    ("local-cluster", True): os.path.join(_REPO, "bench",
+                                          "scaling_query_lv_lc_latest.json"),
+}
 
 
 def _mk_spark(cpus: int):
@@ -74,6 +87,13 @@ def _mk_spark(cpus: int):
         SparkSession.builder.master(master)
         .appName("bench")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # big-batch safety valve: start shuffles wide and let AQE
+        # coalesce small ones back down — a 400-query batch's
+        # (query,doc) aggregate would OOM squeezed into `cpus`
+        # reduce partitions, while tiny jobs still collapse to a few
+        # tasks after coalescing
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(max(cpus * 8, 64)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "500000")
@@ -210,6 +230,22 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     runs = design_regime_run_summaries()
     if runs:
         out["scaling_large_vocab_local_cluster_runs"] = runs
+    # serving-side scaling evidence (bench.py --scaling-query)
+    for (mode, lv), path in _SCALING_QUERY_EVIDENCE_PATHS.items():
+        if not os.path.exists(path):
+            continue
+        with open(path) as fh:
+            ev = json.load(fh)
+        key = "scaling_query" + ("_large_vocab" if lv else "") + (
+            "_local_cluster" if mode == "local-cluster" else "")
+        out[key] = {k: ev.get(k) for k in (
+            "mode", "vocab_size", "masters", "n_docs", "n_queries",
+            "query_wall_8", "query_wall_32", "queries_per_sec_32",
+            "query_efficiency", "query_efficiency_vs_hw_ceiling",
+            "hw_ceiling", "measured_unix_ts")}
+        out[key]["note"] = ("from a prior `bench.py --scaling-query` run "
+                            "(protocol: BASELINE.md); not re-measured in "
+                            "this invocation")
     return out
 
 
@@ -451,6 +487,140 @@ def run_fixed_overhead(cpus: int) -> float:
     return round(wall, 3)
 
 
+def _scaling_index(corpus_path: str) -> str:
+    """Build (once) the serving index over the scaling corpus; both
+    cluster sizes query the SAME on-disk index — the serving analog of
+    _scaling_corpus. Built at full local[32] because the build is not
+    what the query protocol measures."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from engine.postings import build_index
+
+    idx = corpus_path + "_idx"
+    if os.path.exists(os.path.join(idx, "_manifest.json")):
+        return idx
+    spark = _mk_spark(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(corpus_path)
+    n_docs = docs.count()
+    build_index(spark, docs, idx, n_shards=8,
+                hot_df_threshold=max(1000, n_docs // 20), n_salts=8,
+                id_col="doc_id", text_col="content")
+    spark.stop()
+    return idx
+
+
+def run_query_phase(corpus_path: str, cpus: int) -> dict:
+    """One pruned BM25 top-10 batch over the synthetic query set at a
+    given parallelism — the measured unit of the serving-side N-vs-4N
+    protocol. The index is shared (built once, untimed); a warmup
+    query is run first so codegen/Arrow/broadcast one-time costs don't
+    pollute the timed batch; the timed job ends driver-side with the
+    (bounded, <= n_queries*k rows) collect serving would do."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from engine.corpusgen import synth_queries
+    from engine.csearch import search_index
+    from engine.postings import read_index
+
+    n_queries = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "400"))
+    vocab_size = os.environ.get("SPARK_GRAFT_SCALE_VOCAB")
+    vocab_size = int(vocab_size) if vocab_size else None
+    idx_dir = _scaling_index(corpus_path)
+    spark = _mk_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    idx = read_index(spark, idx_dir)
+    # warmup: one query end-to-end (JIT, Arrow python workers, the
+    # stats/term-dict reads search_index does per call)
+    warm = synth_queries(spark, 1, seed=99, vocab_size=vocab_size)
+    search_index(spark, idx, warm, k=10).collect()
+    qs = synth_queries(spark, n_queries, vocab_size=vocab_size)
+    t0 = time.time()
+    n_rows = len(search_index(spark, idx, qs, k=10).collect())
+    wall = time.time() - t0
+    spark.stop()
+    return {"cpus": cpus, "n_queries": n_queries, "wall_sec": round(wall, 3),
+            "queries_per_sec": round(n_queries / wall, 1),
+            "result_rows": n_rows}
+
+
+def run_query_scaling(n_docs: int, mode: str = "local",
+                      vocab_size: int | None = None) -> None:
+    """The serving-side twin of run_scaling: the SAME pruned top-10
+    batch at N vs 4N parallelism over one shared on-disk index. Query
+    count via SPARK_GRAFT_SCALE_QUERIES (default 400 — big enough that
+    the batch is a real distributed job, not scheduler overhead)."""
+    import subprocess
+
+    corpus = _scaling_corpus(n_docs, vocab_size=vocab_size)
+    # pre-build the shared index in the parent (full local[32] — the
+    # legs' SPARK_GRAFT_MASTER must not slow the untimed build)
+    saved_master = os.environ.pop("SPARK_GRAFT_MASTER", None)
+    try:
+        _scaling_index(corpus)
+    finally:
+        if saved_master is not None:
+            os.environ["SPARK_GRAFT_MASTER"] = saved_master
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    if mode == "local-cluster":
+        mem = int(os.environ.get("SPARK_GRAFT_LC_MEM_MB", "10240"))
+        legs = {8: f"local-cluster[2,4,{mem}]",
+                32: f"local-cluster[8,4,{mem}]"}
+        metric = (f"bm25 top-10 query-batch scaling local-cluster[2,4,{mem}]"
+                  f" -> [8,4,{mem}] (2 vs 8 real executor JVMs; N->4N "
+                  "executors)")
+    else:
+        legs = {8: None, 32: None}
+        metric = ("bm25 top-10 query-batch scaling local[8]->local[32] "
+                  "(sandbox stand-in for N->4N executors)")
+    if vocab_size:
+        metric += f" [large-vocab design regime, vocab_size={vocab_size}]"
+    env_common = {}
+    if vocab_size:
+        env_common["SPARK_GRAFT_SCALE_VOCAB"] = str(vocab_size)
+    walls: dict[int, list[float]] = {c: [] for c in legs}
+    qps: dict[int, list[float]] = {c: [] for c in legs}
+    meta: dict = {}
+    for rep in range(reps):
+        for cpus in legs:
+            env = dict(os.environ)
+            env.update(env_common)
+            if legs[cpus]:
+                env["SPARK_GRAFT_MASTER"] = legs[cpus]
+            else:
+                env.pop("SPARK_GRAFT_MASTER", None)
+            out = subprocess.run(
+                [sys.executable, __file__, "--query-phase", corpus,
+                 str(cpus)],
+                capture_output=True, text=True, check=True, env=env,
+            )
+            parsed = json.loads(out.stdout.strip().splitlines()[-1])
+            walls[cpus].append(parsed["wall_sec"])
+            qps[cpus].append(parsed["queries_per_sec"])
+            meta = parsed
+    best = {c: min(v) for c, v in walls.items()}
+    hw = _hw_ceiling()
+    eff = round((best[8] / best[32]) / 4, 3)
+    result = {
+        "metric": metric,
+        "mode": mode,
+        "vocab_size": vocab_size,
+        "masters": {str(c): (legs[c] or f"local[{c}]") for c in legs},
+        "n_docs": n_docs,
+        "n_queries": meta.get("n_queries"),
+        "query_wall_8": best[8], "query_wall_32": best[32],
+        "queries_per_sec_8": max(qps[8]), "queries_per_sec_32": max(qps[32]),
+        "query_efficiency": eff,
+        "hw_ceiling": hw,
+        "query_efficiency_vs_hw_ceiling": round(
+            eff / (hw["max_speedup_8_to_32"] / 4), 3),
+        "all_walls": {str(c): v for c, v in walls.items()},
+        "measured_unix_ts": round(time.time(), 1),
+    }
+    with open(_SCALING_QUERY_EVIDENCE_PATHS[(mode, bool(vocab_size))],
+              "w") as fh:
+        json.dump(result, fh)
+    print(json.dumps(result))
+
+
 def run_scaling(n_docs: int, mode: str = "local",
                 vocab_size: int | None = None) -> None:
     """N vs 4N cores on the identical generated input — the sandbox
@@ -612,6 +782,20 @@ if __name__ == "__main__":
     elif "--fixed-overhead" in sys.argv:
         i = sys.argv.index("--fixed-overhead")
         print(run_fixed_overhead(int(sys.argv[i + 1])))
+    elif "--query-phase" in sys.argv:
+        i = sys.argv.index("--query-phase")
+        print(json.dumps(run_query_phase(sys.argv[i + 1],
+                                         int(sys.argv[i + 2]))))
+    elif "--scaling-query" in sys.argv:
+        mode = "local"
+        if "--mode" in sys.argv:
+            mode = sys.argv[sys.argv.index("--mode") + 1]
+        vocab = None
+        if "--vocab" in sys.argv:
+            vocab = int(sys.argv[sys.argv.index("--vocab") + 1])
+        run_query_scaling(
+            int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000")),
+            mode=mode, vocab_size=vocab)
     elif "--scaling" in sys.argv:
         mode = "local"
         if "--mode" in sys.argv:

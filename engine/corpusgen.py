@@ -94,3 +94,43 @@ def synth_corpus(spark: SparkSession, n_docs: int, seed: int = 42,
         F.element_at(lang_arr, lang_idx).alias("lang"),
         content.alias("content"),
     )
+
+
+def synth_queries(spark: SparkSession, n_queries: int, seed: int = 7,
+                  min_terms: int = 2, max_terms: int = 5,
+                  vocab_size: int | None = None) -> DataFrame:
+    """Deterministic (query_id, query) set drawn from the SAME zipf
+    token distribution as synth_corpus, so query terms hit real
+    posting lists with realistic head/tail skew — the serving-side
+    input of the N->4N scaling protocol (a 50-query reference set is
+    too small a job to measure scaling; this scales the batch). Pure
+    JVM expressions, deterministic in (seed, query_id)."""
+    v = len(VOCAB)
+    vocab_arr = F.array(*[F.lit(t) for t in VOCAB])
+    df = spark.range(n_queries).withColumnRenamed("id", "qid")
+    h = lambda *cols: F.xxhash64(F.lit(seed), *cols)  # noqa: E731
+
+    n_terms = (F.pmod(h(F.col("qid")), F.lit(max_terms - min_terms + 1))
+               + min_terms).cast("int")
+
+    def term_at(j):
+        if vocab_size and vocab_size > v:
+            u = (F.pmod(h(F.col("qid"), j), F.lit(10_000_000))
+                 .cast("double") / F.lit(10_000_000.0))
+            idx = F.least(
+                F.floor(F.pow(F.lit(float(vocab_size)), u)).cast("int"),
+                F.lit(vocab_size))
+            return F.when(
+                idx <= v, F.element_at(vocab_arr, idx)
+            ).otherwise(F.concat(F.lit("t"), idx.cast("string")))
+        u = (F.pmod(h(F.col("qid"), j), F.lit(100000)).cast("double")
+             / F.lit(100000.0))
+        idx = F.floor(F.pow(F.lit(float(v)), u)).cast("int")
+        return F.element_at(vocab_arr, F.least(idx, F.lit(v)))
+
+    return df.select(
+        F.concat(F.lit("sq"), F.col("qid").cast("string")).alias("query_id"),
+        F.concat_ws(
+            " ", F.transform(F.sequence(F.lit(1), n_terms), term_at)
+        ).alias("query"),
+    )

@@ -6,23 +6,33 @@ for a block-max-style prune, so this module implements a safe
 MaxScore/BMW-flavored two-phase plan expressed as DataFrame ops
 (SURVEY.md section 4, last row):
 
-  phase 0  query terms (tiny, broadcast) join postings rows filtered
-           with term IN (<query terms>) — the IN list is pushed into
-           the parquet scan, so only matching row groups are read.
+  phase 0  postings rows filtered with term IN (<query terms>) — the
+           IN list is pushed into the parquet scan, so only matching
+           row groups are read. The byte payloads are NEVER joined
+           with the query table: each payload row decodes ONCE into
+           query-independent (term, doc_id, tf_part) rows, and the
+           tiny broadcast (query_id, term, w) table joins onto those
+           numeric rows JVM-side — batch cost is proportional to the
+           UNIQUE terms of the batch, not Σ per-query terms.
   phase 1  threshold: fully score ONLY the rarest (highest-idf) term of
            each query; the k-th best single-term score is a valid lower
            bound θ on the final k-th score.
-  phase 2  block filter: a block b of term t is provably irrelevant if
+  phase 2  block filter: a block b of term t is provably irrelevant
+           for query q if
                UBsum(q) - w_t*tmax_t + w_t*block_max_b < θ(q)
            where w_t = qtf*idf and UBsum = Σ_t w_t*tmax_t is the
            best-possible doc score. Every doc in such a block scores
            below θ, so it cannot enter the top-k, and any partial score
            it still receives from other terms lands below θ and is cut
            by the final top-k window — results stay RANK-IDENTICAL to
-           the unpruned plan (tested).
+           the unpruned plan (tested). Serving decodes the UNION of
+           the sharing queries' keep lists (one threshold scalar per
+           term): skipping only blocks every sharing query may skip is
+           a superset decode, which is always safe.
   phase 3  decode only surviving blocks (blocks are delta-restarted, so
-           pruned blocks are never touched), compute term scores in
-           numpy, then JVM-side groupBy(query,doc).sum + top-k window.
+           pruned blocks are never touched), compute tf_parts in
+           numpy, then JVM-side weight join + groupBy(query,doc).sum +
+           top-k window.
 """
 
 from __future__ import annotations
@@ -160,6 +170,116 @@ def _decode_scores(rows: DataFrame, avgdl: float,
             f"SPARK_GRAFT_DECODE_IMPL must be 'arrow' or 'pandas', got "
             f"{DECODE_IMPL!r}")
     return rows.mapInPandas(_decode_score_iter(avgdl, keep_col), SCORE_ROWS)
+
+
+TFPART_ROWS = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("tf_part", DoubleType(), False),
+    ]
+)
+
+
+def _decode_tf_iter(avgdl: float, keep_col: str | None):
+    """mapInPandas kernel: posting rows -> (term, doc_id, tf_part).
+
+    The query-independent half of the score (BM25 tf saturation): each
+    payload row is decoded ONCE regardless of how many queries share
+    the term — the per-query weight joins onto these small numeric rows
+    JVM-side afterwards. This is what makes batch serving scale-safe:
+    the multi-MB byte payload of a hot term is never replicated per
+    query (a 400-query zipf batch OOM'd a 10g executor under the old
+    per-(query,term) decode)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms, docs, parts = [], [], []
+            for r in pdf.itertuples(index=False):
+                keep = getattr(r, keep_col) if keep_col else None
+                if keep_col and keep is not None and len(keep) == 0:
+                    continue
+                d, t, dl = decode_blocked(
+                    r.doc_bytes, r.tf_bytes, r.dl_bytes,
+                    r.doc_off, r.tf_off, r.dl_off,
+                    keep=None if keep is None else keep,
+                )
+                if d.size == 0:
+                    continue
+                terms.append(np.full(d.size, r.term, dtype=object))
+                docs.append(d)
+                parts.append(tf_part(t, dl, avgdl))
+            if terms:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(terms),
+                        "doc_id": np.concatenate(docs),
+                        "tf_part": np.concatenate(parts),
+                    }
+                )
+
+    return fn
+
+
+def _decode_tf_arrow_iter(avgdl: float, keep_col: str | None):
+    """mapInArrow twin of _decode_tf_iter (same zero-copy assembly as
+    _decode_score_arrow_iter)."""
+    import pyarrow as pa
+
+    out_schema = pa.schema([
+        ("term", pa.string()),
+        ("doc_id", pa.int64()),
+        ("tf_part", pa.float64()),
+    ])
+
+    def fn(batches):
+        for b in batches:
+            names = b.schema.names
+            cols = {n: b.column(i) for i, n in enumerate(names)}
+            term = cols["term"]
+            db, tb, lb = cols["doc_bytes"], cols["tf_bytes"], cols["dl_bytes"]
+            do, to, lo = cols["doc_off"], cols["tf_off"], cols["dl_off"]
+            kc = cols[keep_col] if keep_col else None
+            terms, docs, parts = [], [], []
+            for i in range(b.num_rows):
+                keep = kc[i].as_py() if kc is not None else None
+                if kc is not None and keep is not None and len(keep) == 0:
+                    continue
+                d, t, dl = decode_blocked(
+                    db[i].as_py(), tb[i].as_py(), lb[i].as_py(),
+                    do[i].as_py(), to[i].as_py(), lo[i].as_py(),
+                    keep=keep,
+                )
+                if d.size == 0:
+                    continue
+                terms.append(np.full(d.size, term[i].as_py(), dtype=object))
+                docs.append(d.astype(np.int64, copy=False))
+                parts.append(tf_part(t, dl, avgdl))
+            if terms:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(terms), type=pa.string()),
+                        pa.array(np.concatenate(docs), type=pa.int64()),
+                        pa.array(np.concatenate(parts), type=pa.float64()),
+                    ],
+                    schema=out_schema,
+                )
+
+    return fn
+
+
+def _decode_tf_parts(rows: DataFrame, avgdl: float,
+                     keep_col: str | None) -> DataFrame:
+    """Apply the configured decode kernel, emitting query-independent
+    (term, doc_id, tf_part) rows (decode once per payload row)."""
+    if DECODE_IMPL == "arrow":
+        return rows.mapInArrow(
+            _decode_tf_arrow_iter(avgdl, keep_col), TFPART_ROWS)
+    if DECODE_IMPL != "pandas":
+        raise ValueError(
+            f"SPARK_GRAFT_DECODE_IMPL must be 'arrow' or 'pandas', got "
+            f"{DECODE_IMPL!r}")
+    return rows.mapInPandas(_decode_tf_iter(avgdl, keep_col), TFPART_ROWS)
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:
@@ -324,14 +444,41 @@ def search_index(
     if not terms or n_docs == 0 or avgdl <= 0:
         return empty
 
-    q = F.broadcast(qt)
-    rows = (
+    # Batch-sharing design (scale invariant): the byte payloads are
+    # NEVER joined with the query table. Each payload row is decoded
+    # ONCE into (term, doc_id, tf_part) numeric rows — the
+    # query-independent half of BM25 — and the tiny broadcast
+    # (query_id, term, w) table joins onto those decoded rows JVM-side
+    # (score = w * tf_part). Under the old per-(query,term) plan a
+    # zipf batch replicated each hot term's multi-MB payload per query
+    # containing it: 400 queries OOM'd a 10 GiB executor; per-term
+    # decode makes batch cost proportional to UNIQUE terms, which is
+    # what a 1000-executor batch-serving job needs.
+    payload = (
         _pb_pruned_postings(index, terms)
         .where(F.col("term").isin(terms))
-        .join(q, "term")
+    )
+    if prune and cache_level == "memory":
+        payload = _track_persist(payload.cache())
+    elif prune and cache_level == "disk":
+        from pyspark import StorageLevel
+
+        payload = _track_persist(payload.persist(StorageLevel.DISK_ONLY))
+    # 'none': no persist — phases re-run the IN-pushdown scan
+
+    # per-term stats from metadata columns only (column pruning keeps
+    # the bytes unread in this agg): df for idf, tmax for the UB math
+    tmeta = F.broadcast(payload.groupBy("term").agg(
+        F.max("df").alias("df"),
+        (F.max(F.array_max("block_max")) * F.lit(bfac)).alias("tmax"),
+    ))
+    # qterm: one row per (query, term) — tiny, stays broadcastable
+    qterm = (
+        qt.join(tmeta, "term")
         .withColumn("idf", idf_expr(n_docs))
         .withColumn("w", F.col("qtf") * F.col("idf"))
     )
+    qw = F.broadcast(qterm.select("query_id", "term", "w"))
 
     def _finish(scored: DataFrame) -> DataFrame:
         scored = _live(scored)
@@ -339,37 +486,37 @@ def search_index(
             scored = scored.withColumn("score", F.round("score", round_dp))
         return _topk(scored, k)
 
-    if not prune:
-        scored = (
-            _decode_scores(
-                rows.select("query_id", "w", "doc_bytes", "tf_bytes",
-                            "dl_bytes", "doc_off", "tf_off", "dl_off"),
-                avgdl, None)
+    def _score(decoded: DataFrame) -> DataFrame:
+        return (
+            decoded.join(qw, "term")
             .groupBy("query_id", "doc_id")
-            .agg(F.sum("term_score").alias("score"))
+            .agg(F.sum(F.col("w") * F.col("tf_part")).alias("score"))
         )
-        return _finish(scored)
 
-    if cache_level == "memory":
-        rows = _track_persist(rows.cache())
-    elif cache_level == "disk":
-        from pyspark import StorageLevel
+    payload_cols = ("term", "doc_bytes", "tf_bytes", "dl_bytes",
+                    "doc_off", "tf_off", "dl_off")
+    if not prune:
+        return _finish(_score(
+            _decode_tf_parts(payload.select(*payload_cols), avgdl, None)))
 
-        rows = _track_persist(rows.persist(StorageLevel.DISK_ONLY))
-    # 'none': no persist — phases re-run the IN-pushdown scan + join
-
-    # phase 1: θ from the rarest term of each query (all its salt rows)
+    # phase 1: θ from the rarest (highest-idf, ties to min term) term
+    # of each query; rare terms are decoded once each and the per-query
+    # weight joins onto the decoded rows
     wmax = Window.partitionBy("query_id")
-    rare = rows.withColumn("idf_max", F.max("idf").over(wmax)).where(
-        F.col("idf") == F.col("idf_max")
+    rareq = (
+        qterm.withColumn("idf_max", F.max("idf").over(wmax))
+        .where(F.col("idf") == F.col("idf_max"))
+        .withColumn("rare_term", F.min("term").over(wmax))
+        .where(F.col("term") == F.col("rare_term"))
+        .select("query_id", "term", "w")
     )
-    rare = rare.withColumn(
-        "rare_term", F.min("term").over(wmax)
-    ).where(F.col("term") == F.col("rare_term"))
-    phase1 = _live(_decode_scores(
-        rare.select("query_id", "w", "doc_bytes", "tf_bytes", "dl_bytes",
-                    "doc_off", "tf_off", "dl_off"),
-        avgdl, None))
+    rare_payload = payload.join(
+        F.broadcast(rareq.select("term").distinct()), "term", "left_semi")
+    phase1 = _live(
+        _decode_tf_parts(rare_payload.select(*payload_cols), avgdl, None)
+        .join(F.broadcast(rareq), "term")
+        .withColumn("term_score", F.col("w") * F.col("tf_part"))
+    )
     wrank = Window.partitionBy("query_id").orderBy(
         F.col("term_score").desc(), F.col("doc_id").asc()
     )
@@ -390,47 +537,49 @@ def search_index(
             "theta", F.col("theta") - F.lit(10.0 ** -round_dp)
         )
 
-    # phase 2: per-(query,term) tmax, per-query UBsum, then a block keep
-    # list computed with JVM higher-order functions (no explode, no
-    # shuffle of the byte payloads)
-    qterm = rows.groupBy("query_id", "term", "w").agg(
-        (F.max(F.array_max("block_max")) * F.lit(bfac)).alias("tmax")
-    )
+    # phase 2: per-query UBsum on the tiny qterm table, then ONE block
+    # threshold per TERM — the union of every sharing query's keep
+    # condition. Per (q,t) a block is needed iff
+    #     w*bmax*bfac >= θ(q) - (UBsum(q) - w*tmax)
+    # ⟺  bmax >= (θ(q) - UBsum(q)) / (w*bfac) + tmax/bfac
+    # so the per-term threshold is the MIN of the right-hand side over
+    # queries containing t. Decoding a superset of a query's own keep
+    # list is always safe: the WAND argument only ever uses "a block
+    # was skipped ⇒ its docs provably score below θ(q)", and the union
+    # skips a block only when EVERY sharing query's condition skips it
+    # — extra decoded blocks just move partial scores toward their
+    # exact values (rank identity to the unpruned plan is pytest- and
+    # oracle-gated).
     ub = qterm.groupBy("query_id").agg(
         F.sum(F.col("w") * F.col("tmax")).alias("ubsum")
     )
-    meta = F.broadcast(
+    thresh = F.broadcast(
         qterm.join(ub, "query_id")
         .join(theta, "query_id", "left")
         .withColumn("theta", F.coalesce(F.col("theta"), F.lit(float("-inf"))))
-        .select("query_id", "term", "tmax", "ubsum", "theta")
+        .groupBy("term")
+        .agg(F.min(
+            (F.col("theta") - F.col("ubsum")) / (F.col("w") * F.lit(bfac))
+            + F.col("tmax") / F.lit(bfac)
+        ).alias("bthresh"))
     )
-
-    slack = F.col("theta") - (F.col("ubsum") - F.col("w") * F.col("tmax"))
     blocks = (
-        rows.join(meta, ["query_id", "term"])
+        payload.join(thresh, "term")
         .withColumn(
             "keep_blocks",
             F.filter(
                 F.transform(
                     "block_max",
                     lambda x, i: F.when(
-                        F.col("w") * x * F.lit(bfac) >= slack, i
+                        x >= F.col("bthresh"), i
                     ).otherwise(F.lit(-1)),
                 ),
                 lambda i: i >= 0,
             ),
         )
     )
-    scored = (
-        _decode_scores(
-            blocks.select("query_id", "w", "doc_bytes", "tf_bytes",
-                          "dl_bytes", "doc_off", "tf_off", "dl_off",
-                          "keep_blocks"),
-            avgdl, "keep_blocks")
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("term_score").alias("score"))
-    )
+    scored = _score(_decode_tf_parts(
+        blocks.select(*payload_cols, "keep_blocks"), avgdl, "keep_blocks"))
     return _finish(scored)
 
 
@@ -442,7 +591,11 @@ def pruning_stats(
 ) -> dict:
     """How much decode work block-max pruning avoids: returns
     {total_blocks, kept_blocks, pruned_fraction} for the given query
-    set — the same phase-1/phase-2 math as search_index(prune=True)
+    set, counted per (query, term) — the per-query ideal. Batch
+    serving decodes the per-TERM union of the sharing queries' keep
+    lists (search_index phase 2), so its actual kept count is >= this
+    figure when queries share terms (equal for single queries).
+    Otherwise the same phase-1/phase-2 math as search_index(prune=True)
     (stale-bound inflation included), collected instead of executed."""
     n_docs, avgdl = index["n_docs"], index["avgdl"]
     enc_avgdl = float(index.get("encode_avgdl") or avgdl) or avgdl

@@ -84,3 +84,28 @@ def test_engine_end_to_end_on_input_hint_shape(spark, tmp_path):
                         ("c3", "ident5 return")], k=10)
     want = sorted((q, d, rk) for q, d, s, rk in golden)
     assert got == want
+
+
+def test_synth_queries_deterministic_and_hit_corpus(spark):
+    """synth_queries (the serving-side scaling input): deterministic in
+    (seed, query_id), term counts within bounds, and every term drawn
+    from the corpus vocabulary generator — so the scaling batch probes
+    real posting lists."""
+    from engine.corpusgen import VOCAB, synth_queries
+
+    a = {r.query_id: r.query for r in synth_queries(spark, 60).collect()}
+    b = {r.query_id: r.query for r in synth_queries(spark, 60).collect()}
+    assert a == b and len(a) == 60
+    vocab = set(VOCAB)
+    for q in a.values():
+        terms = q.split()
+        assert 2 <= len(terms) <= 5
+        assert all(t in vocab for t in terms)
+
+    # large-vocab variant: tail terms use the same t<idx> naming the
+    # corpus generator emits
+    lv = synth_queries(spark, 200, vocab_size=300_000).collect()
+    tail = [t for r in lv for t in r.query.split() if t.startswith("t")
+            and t[1:].isdigit()]
+    assert tail, "zipf tail terms should appear in a 200-query draw"
+    assert all(int(t[1:]) <= 300_000 for t in tail)
