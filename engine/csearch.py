@@ -269,9 +269,33 @@ def _decode_tf_arrow_iter(avgdl: float, keep_col: str | None):
 
 
 def _decode_tf_parts(rows: DataFrame, avgdl: float,
-                     keep_col: str | None) -> DataFrame:
+                     keep_col: str | None,
+                     spread: bool = False) -> DataFrame:
     """Apply the configured decode kernel, emitting query-independent
-    (term, doc_id, tf_part) rows (decode once per payload row)."""
+    (term, doc_id, tf_part) rows (decode once per payload row).
+
+    spread=True round-robin repartitions the input first: the
+    tid-bucketed layout co-locates ALL posting rows of a term (every
+    shard x salt chunk) in one pb partition, so a scan split holding a
+    hot term would otherwise decode it — and run the pipelined weight
+    join + partial aggregate over its df x sharing-queries fan-out —
+    in a SINGLE task (measured on the 500k-doc/300k-term fixture: one
+    task 267 s CPU / 91M partial rows vs a 0.9 s median; the whole
+    400-query batch WAS that straggler, 311 s -> 41 s with the
+    spread). Spreading the (post-pruning) payload rows caps a task's
+    decode work at ~one chunk: the hottest salted term has
+    n_shards*n_salts chunks, so its decode+join fans out across that
+    many tasks. The shuffle moves only bytes that will actually be
+    decoded — phase 2's block filter has already dropped pruned
+    blocks' terms — and is the batch-serving analog of the build's
+    salted hot-term split. Callers gate it on index size (the same
+    n_docs >= AUTO_PRUNE_MIN_DOCS bar as auto-prune): on a tiny index
+    the extra shuffle stage is pure latency (measured +0.5 s on the
+    sf0.1 p50), while at scale the skew it removes is the whole batch
+    wall."""
+    if spread:
+        sc = rows.sparkSession.sparkContext
+        rows = rows.repartition(sc.defaultParallelism * 4)
     if DECODE_IMPL == "arrow":
         return rows.mapInArrow(
             _decode_tf_arrow_iter(avgdl, keep_col), TFPART_ROWS)
@@ -495,9 +519,14 @@ def search_index(
 
     payload_cols = ("term", "doc_bytes", "tf_bytes", "dl_bytes",
                     "doc_off", "tf_off", "dl_off")
+    # spread decode work off the tid-bucketed co-location once the
+    # index is big enough that one hot term saturates a task (same bar
+    # as auto-prune; see _decode_tf_parts)
+    spread = n_docs >= AUTO_PRUNE_MIN_DOCS
     if not prune:
         return _finish(_score(
-            _decode_tf_parts(payload.select(*payload_cols), avgdl, None)))
+            _decode_tf_parts(payload.select(*payload_cols), avgdl, None,
+                             spread=spread)))
 
     # phase 1: θ from the rarest (highest-idf, ties to min term) term
     # of each query; rare terms are decoded once each and the per-query
@@ -513,7 +542,8 @@ def search_index(
     rare_payload = payload.join(
         F.broadcast(rareq.select("term").distinct()), "term", "left_semi")
     phase1 = _live(
-        _decode_tf_parts(rare_payload.select(*payload_cols), avgdl, None)
+        _decode_tf_parts(rare_payload.select(*payload_cols), avgdl, None,
+                         spread=spread)
         .join(F.broadcast(rareq), "term")
         .withColumn("term_score", F.col("w") * F.col("tf_part"))
     )
@@ -579,7 +609,8 @@ def search_index(
         )
     )
     scored = _score(_decode_tf_parts(
-        blocks.select(*payload_cols, "keep_blocks"), avgdl, "keep_blocks"))
+        blocks.select(*payload_cols, "keep_blocks"), avgdl, "keep_blocks",
+        spread=spread))
     return _finish(scored)
 
 

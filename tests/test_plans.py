@@ -118,3 +118,68 @@ def test_scan_prunes_unused_columns(spark, built):
     assert scan_lines
     assert "block_last" not in scan_lines[0]
     assert "block_max" not in scan_lines[0]
+
+
+def test_decode_stage_is_query_independent(spark, built):
+    """The scale invariant of batch serving: byte payloads are decoded
+    ONCE per posting row, never replicated per query — below a
+    MapInArrow/MapInPandas decode operator, query_id may appear ONLY
+    inside a BroadcastExchange subtree (the tiny per-term threshold
+    table built from theta is broadcast onto the payload rows; the
+    per-query weight join happens ABOVE the decode, on small numeric
+    rows). A query_id join on the STREAMED (payload) side would mean
+    each byte payload is replicated per sharing query — the plan shape
+    that OOMs batch serving on zipf query sets."""
+    df = search_index(spark, built, queries_df(spark), k=10, prune=True)
+    plan = _plan(df)
+    lines = plan.splitlines()
+
+    def _indent(s):
+        return len(s) - len(s.lstrip(" +-:"))
+
+    decode_idx = [i for i, ln in enumerate(lines)
+                  if "MapInArrow" in ln or "MapInPandas" in ln]
+    assert decode_idx, "decode kernel missing from the plan"
+    for i in decode_idx:
+        indent = _indent(lines[i])
+        skip_below = None  # indent of an active BroadcastExchange root
+        for sub in lines[i + 1:]:
+            if not sub.strip():
+                continue
+            si = _indent(sub)
+            if si <= indent:
+                break
+            if skip_below is not None:
+                if si > skip_below:
+                    continue  # inside the broadcast (small) side
+                skip_below = None
+            if "BroadcastExchange" in sub:
+                skip_below = si
+                continue
+            assert "query_id" not in sub, (
+                "decode subtree references query_id on the streamed "
+                "side — payloads are being replicated per query:\n"
+                + sub)
+
+
+def test_decode_spread_adds_roundrobin_exchange_only_at_scale(spark, built):
+    """At-scale serving (n_docs >= AUTO_PRUNE_MIN_DOCS) must round-robin
+    the payload rows before the decode kernel — the tid-bucketed layout
+    co-locates every chunk of a hot term in one pb partition, so
+    without the spread one scan task runs the whole hot term's
+    decode+join+partial-agg (the measured 400-query-batch straggler).
+    On a small index the spread must be absent: it is pure latency
+    there (measured +0.5 s on the sf0.1 p50)."""
+    from engine.csearch import _decode_tf_parts
+
+    payload = built["postings"].select(
+        "term", "doc_bytes", "tf_bytes", "dl_bytes",
+        "doc_off", "tf_off", "dl_off")
+    spread_plan = _plan(_decode_tf_parts(payload, 10.0, None, spread=True))
+    flat_plan = _plan(_decode_tf_parts(payload, 10.0, None, spread=False))
+    assert "RoundRobinPartitioning" in spread_plan
+    assert "RoundRobinPartitioning" not in flat_plan
+    # the small `built` fixture is below the bar: end-to-end serving on
+    # it must NOT pay the spread shuffle
+    df = search_index(spark, built, queries_df(spark), k=10, prune=True)
+    assert "RoundRobinPartitioning" not in _plan(df)

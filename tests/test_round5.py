@@ -505,3 +505,34 @@ def test_embedding_near_dup_shares_rp_lsh_bucket_space(spark):
     df1 = emb.select(F.array(*e1).alias("b")).collect()
     df2 = emb.select(F.array(*e2).alias("b")).collect()
     assert [r.b for r in df1] == [r.b for r in df2]
+
+
+# ------------------------------------------------- batch serving (decode-once)
+
+
+def test_batch_pruned_identical_to_unpruned_with_shared_terms(
+        spark, tmp_path_factory):
+    """The union-threshold block pruning (one keep threshold per TERM
+    across a batch of queries sharing zipf-skewed terms) must stay
+    rank-AND-score identical to the unpruned plan — the superset-decode
+    safety claim of csearch phase 2, pinned on a 100-query batch where
+    hot terms are shared by most queries."""
+    from engine.corpusgen import synth_corpus, synth_queries
+    from engine.csearch import search_index
+    from engine.postings import build_index, read_index
+
+    out = str(tmp_path_factory.mktemp("batchidx"))
+    docs = synth_corpus(spark, 1200)
+    build_index(spark, docs, out, n_shards=2, hot_df_threshold=200,
+                n_salts=2, text_col="content")
+    idx = read_index(spark, out)
+    qs = synth_queries(spark, 100)
+
+    def rows(prune):
+        return sorted(
+            (r.query_id, r.doc_id, round(r.score, 9), r.rank)
+            for r in search_index(spark, idx, qs, k=10,
+                                  prune=prune).collect())
+
+    pruned, unpruned = rows(True), rows(False)
+    assert pruned == unpruned and len(pruned) > 500
