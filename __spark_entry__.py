@@ -148,13 +148,17 @@ def _batch_compressed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-salted) served with block-max pruning — rank-identical to the
     plain SQL oracle BY CONSTRUCTION: round_dp=4 rounds scores before
     the search's own top-k window and relaxes the prune threshold by one
-    rounding quantum (no raw-precision buffer re-ranked afterwards)."""
+    rounding quantum (no raw-precision buffer re-ranked afterwards).
+    Served with agg_impl='matmul' (the at-scale default aggregation,
+    csearch._matmul_topk_iter) so the matmul route gets an oracle-gated
+    hash row; the stream/deleted halves of the union keep gating the
+    'join' route, so one bm25_topk_compressed hash evidences both."""
     from engine.csearch import search_index
     from engine.postings import read_index
 
     idx = read_index(spark, _index_dir(spark, sf_dir))
     return search_index(spark, idx, queries_df(spark), k=10, prune=True,
-                        round_dp=4)
+                        round_dp=4, agg_impl="matmul")
 
 
 def q_bm25_topk_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,8 +31,14 @@ MaxScore/BMW-flavored two-phase plan expressed as DataFrame ops
            a superset decode, which is always safe.
   phase 3  decode only surviving blocks (blocks are delta-restarted, so
            pruned blocks are never touched), compute tf_parts in
-           numpy, then JVM-side weight join + groupBy(query,doc).sum +
-           top-k window.
+           numpy, then aggregate per (query, doc) one of two ways
+           (AGG_IMPL): 'join' — JVM-side broadcast weight join +
+           groupBy(query,doc).sum — for small indexes, or 'matmul' —
+           doc-partitioned dense matmul emitting per-partition top-k
+           candidates (_matmul_topk_iter) — at scale, where the join
+           plan's per-(query,term) fan-out dominates the batch wall.
+           Both end in the same top-k window and are rank-identical
+           (pytest-gated).
 """
 
 from __future__ import annotations
@@ -317,6 +323,168 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+#: which batch score-aggregation serves: 'join' (broadcast weight join
+#: + groupBy(query,doc).sum — the small-index default), 'matmul'
+#: (doc-partitioned dense matmul, see _matmul_topk_iter — the
+#: at-scale default), or 'auto' (matmul iff n_docs >=
+#: AUTO_PRUNE_MIN_DOCS, the same bar as auto-prune/spread)
+AGG_IMPL = os.environ.get("SPARK_GRAFT_AGG_IMPL", "auto")
+
+
+def _matmul_topk_iter(qids: list, W, k: int, round_dp: int | None):
+    """mapInArrow kernel: per doc-partition, score the WHOLE query
+    batch as one dense matmul and emit only that partition's per-query
+    top-k candidates.
+
+    Why: the join plan shuffles Σ_q Σ_{t∈q} |postings(t)| fanned-out
+    partial rows into a groupBy(query,doc) whose map-side combine
+    collapses ~nothing (decode output is term-major: a (query,doc)
+    pair never repeats within a task), measured at 91M partial rows /
+    357 s task-time for a 400-query zipf batch over the 500k-doc
+    design-regime fixture. Batch BM25 is a sparse-matrix product
+    S = W·X (W: query×term weights, tiny; X: term×doc tf_parts), so
+    instead this kernel receives the UNIQUE decoded (term,doc,tf_part)
+    rows hash-partitioned by doc_id — every row of a doc in one
+    partition, so scores are FINAL within the kernel — densifies X one
+    ≤8192-doc column chunk at a time, runs one BLAS matmul per chunk,
+    and emits ≤k rows per (query, partition). The shuffle moves the
+    unique decoded rows once (int term-index, not the string), never
+    the query fan-out, and the downstream window sees
+    n_partitions×n_queries×k rows instead of 91M.
+
+    Exactness: hits are detected as unrounded score > 0 (idf and
+    tf_part are strictly positive — idf = ln(1+x), x > 0 — so a dense
+    zero means "no term of q occurs in d", which the join plan never
+    emits); rounding (round_dp) is applied BEFORE candidate selection,
+    matching the join plan's round-then-window order; candidates are
+    ordered by (score desc, doc_id asc), the exact _topk tie-break.
+    Per-partition top-k of final scores is a superset of each query's
+    global top-k members from that partition, so the final small
+    window reproduces the join plan's ranking bit-for-bit
+    (pytest-gated identical on fixtures incl. ties, tombstones, and
+    sub-k term matches). FP note: the sum order differs from the hash
+    aggregate's, but the join plan's own sum order is already
+    partition-nondeterministic, and the oracle gate rounds.
+    """
+    import pyarrow as pa
+
+    out_schema = pa.schema([
+        ("query_id", pa.string()),
+        ("doc_id", pa.int64()),
+        ("score", pa.float64()),
+    ])
+    n_q, n_t = W.shape
+    CHUNK = 8192
+
+    def fn(batches):
+        tidx_l, doc_l, x_l = [], [], []
+        for b in batches:
+            cols = {n: b.column(i) for i, n in enumerate(b.schema.names)}
+            tidx_l.append(cols["tidx"].to_numpy(zero_copy_only=False))
+            doc_l.append(cols["doc_id"].to_numpy(zero_copy_only=False))
+            x_l.append(cols["tf_part"].to_numpy(zero_copy_only=False))
+        if not tidx_l:
+            return
+        tidx = np.concatenate(tidx_l)
+        doc = np.concatenate(doc_l)
+        x = np.concatenate(x_l)
+        if doc.size == 0:
+            return
+        udocs, dinv = np.unique(doc, return_inverse=True)
+        order = np.argsort(dinv, kind="stable")
+        tidx, dinv, x = tidx[order], dinv[order], x[order]
+        cand_d = [[] for _ in range(n_q)]
+        cand_s = [[] for _ in range(n_q)]
+        for lo in range(0, udocs.size, CHUNK):
+            hi = min(lo + CHUNK, udocs.size)
+            r0 = np.searchsorted(dinv, lo, side="left")
+            r1 = np.searchsorted(dinv, hi, side="left")
+            c = hi - lo
+            X = np.zeros((n_t, c))
+            # duplicate (term,doc) rows sum, same as the groupBy
+            np.add.at(X, (tidx[r0:r1], dinv[r0:r1] - lo), x[r0:r1])
+            S = W @ X
+            hit = S > 0.0  # strict: w>0 and tf_part>0 for every posting
+            if round_dp is not None:
+                S = np.round(S, round_dp)
+            S[~hit] = -np.inf
+            dcs = udocs[lo:hi]
+            for q in range(n_q):
+                s = S[q]
+                if c > k:
+                    kth = np.partition(s, c - k)[c - k]
+                    # >= keeps kth-score ties as candidates (superset
+                    # is safe; the final window re-cuts exactly)
+                    m = (s >= kth) & hit[q]
+                else:
+                    m = hit[q]
+                if m.any():
+                    cand_d[q].append(dcs[m])
+                    cand_s[q].append(s[m])
+        out_q, out_d, out_s = [], [], []
+        for q in range(n_q):
+            if not cand_d[q]:
+                continue
+            d = np.concatenate(cand_d[q])
+            s = np.concatenate(cand_s[q])
+            sel = np.lexsort((d, -s))[:k]
+            out_q.append(np.full(sel.size, qids[q], dtype=object))
+            out_d.append(d[sel])
+            out_s.append(s[sel])
+        if out_q:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.string()),
+                    pa.array(np.concatenate(out_d).astype(np.int64)),
+                    pa.array(np.concatenate(out_s)),
+                ],
+                schema=out_schema,
+            )
+
+    return fn
+
+
+def _matmul_score_topk(decoded: DataFrame, qterm_pd: pd.DataFrame,
+                       k: int, round_dp: int | None) -> DataFrame:
+    """Score a decoded (term, doc_id, tf_part) table against the batch
+    weight matrix via _matmul_topk_iter. Returns per-partition top-k
+    candidate rows (query_id, doc_id, score) — the caller's final
+    window cuts them to the exact global top-k. Tombstoned docs must
+    already be removed from `decoded` (a dead doc inside a partition
+    could otherwise displace a live doc from that partition's k
+    candidates before the anti-join runs)."""
+    spark = decoded.sparkSession
+    terms_u = sorted(qterm_pd["term"].unique())
+    qids = sorted(qterm_pd["query_id"].unique())
+    tmap = {t: i for i, t in enumerate(terms_u)}
+    qmap = {q: i for i, q in enumerate(qids)}
+    W = np.zeros((len(qids), len(terms_u)))
+    np.add.at(
+        W,
+        (qterm_pd["query_id"].map(qmap).to_numpy(),
+         qterm_pd["term"].map(tmap).to_numpy()),
+        qterm_pd["w"].to_numpy(),
+    )
+    tix = F.broadcast(spark.createDataFrame(
+        [(t, i) for t, i in tmap.items()], "term string, tidx int"))
+    rows = (
+        decoded.join(tix, "term")
+        .select("tidx", "doc_id", "tf_part")
+        .repartition(spark.sparkContext.defaultParallelism * 4, "doc_id")
+    )
+    return rows.mapInArrow(
+        _matmul_topk_iter(qids, W, k, round_dp), SCORE_ROWS_TOPK)
+
+
+SCORE_ROWS_TOPK = StructType(
+    [
+        StructField("query_id", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
+
+
 def local_query_terms(spark: SparkSession, queries: DataFrame):
     """Tokenize the (by definition tiny) query set driver-side: the
     reference also analyzes queries on the driver
@@ -394,6 +562,7 @@ def search_index(
     prune: bool | str = "auto",
     round_dp: int | None = None,
     cache_level: str = "memory",
+    agg_impl: str = "env",
 ) -> DataFrame:
     """Top-k BM25 over a compressed index (from postings.build_index /
     read_index). Returns (query_id, doc_id, score, rank).
@@ -432,6 +601,12 @@ def search_index(
         raise ValueError(
             f"cache_level must be 'memory', 'disk', or 'none', got "
             f"{cache_level!r}")
+    if agg_impl == "env":
+        agg_impl = AGG_IMPL
+    if agg_impl not in ("auto", "join", "matmul"):
+        raise ValueError(
+            f"agg_impl must be 'auto', 'join', or 'matmul', got "
+            f"{agg_impl!r}")
     # release the PREVIOUS call's persisted posting rows on ENTRY — not
     # just on the pruned branch — so an unpruned (or empty-query) call
     # after a pruned one can't leave the old plan pinned forever
@@ -503,6 +678,14 @@ def search_index(
         .withColumn("w", F.col("qtf") * F.col("idf"))
     )
     qw = F.broadcast(qterm.select("query_id", "term", "w"))
+    # spread decode work off the tid-bucketed co-location once the
+    # index is big enough that one hot term saturates a task (same bar
+    # as auto-prune; see _decode_tf_parts)
+    spread = n_docs >= AUTO_PRUNE_MIN_DOCS
+    if agg_impl == "auto":
+        agg_impl = "matmul" if spread else "join"
+    qterm_pd = (qterm.select("query_id", "term", "w").toPandas()
+                if agg_impl == "matmul" else None)
 
     def _finish(scored: DataFrame) -> DataFrame:
         scored = _live(scored)
@@ -510,23 +693,28 @@ def search_index(
             scored = scored.withColumn("score", F.round("score", round_dp))
         return _topk(scored, k)
 
-    def _score(decoded: DataFrame) -> DataFrame:
-        return (
-            decoded.join(qw, "term")
-            .groupBy("query_id", "doc_id")
-            .agg(F.sum(F.col("w") * F.col("tf_part")).alias("score"))
-        )
+    def _score_topk(decoded: DataFrame) -> DataFrame:
+        """decoded (term, doc_id, tf_part) -> exact top-k, via the
+        configured aggregation (module doc for AGG_IMPL; the matmul
+        kernel's own docstring for why the join plan loses at scale).
+        Both routes end in _finish, so rounding/tombstone/tie-break
+        semantics are shared (matmul pre-drops tombstones and
+        pre-rounds, making _finish's re-application a no-op)."""
+        if agg_impl == "join":
+            return _finish(
+                decoded.join(qw, "term")
+                .groupBy("query_id", "doc_id")
+                .agg(F.sum(F.col("w") * F.col("tf_part")).alias("score"))
+            )
+        return _finish(_matmul_score_topk(
+            _live(decoded), qterm_pd, k, round_dp))
 
     payload_cols = ("term", "doc_bytes", "tf_bytes", "dl_bytes",
                     "doc_off", "tf_off", "dl_off")
-    # spread decode work off the tid-bucketed co-location once the
-    # index is big enough that one hot term saturates a task (same bar
-    # as auto-prune; see _decode_tf_parts)
-    spread = n_docs >= AUTO_PRUNE_MIN_DOCS
     if not prune:
-        return _finish(_score(
+        return _score_topk(
             _decode_tf_parts(payload.select(*payload_cols), avgdl, None,
-                             spread=spread)))
+                             spread=spread))
 
     # phase 1: θ from the rarest (highest-idf, ties to min term) term
     # of each query; rare terms are decoded once each and the per-query
@@ -608,10 +796,9 @@ def search_index(
             ),
         )
     )
-    scored = _score(_decode_tf_parts(
+    return _score_topk(_decode_tf_parts(
         blocks.select(*payload_cols, "keep_blocks"), avgdl, "keep_blocks",
         spread=spread))
-    return _finish(scored)
 
 
 def pruning_stats(

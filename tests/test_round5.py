@@ -536,3 +536,111 @@ def test_batch_pruned_identical_to_unpruned_with_shared_terms(
 
     pruned, unpruned = rows(True), rows(False)
     assert pruned == unpruned and len(pruned) > 500
+
+
+# ------------------------------------------- matmul batch aggregation
+
+
+def _matmul_fixture(spark, tmp_path_factory, tag, n_docs=600):
+    from engine.corpusgen import synth_corpus
+    from engine.postings import build_index, delete_docs, read_index
+
+    out = str(tmp_path_factory.mktemp(f"{tag}_idx"))
+    docs = synth_corpus(spark, n_docs)
+    build_index(spark, docs, out, n_shards=2, hot_df_threshold=200,
+                n_salts=2, text_col="content")
+    # standing tombstones so the matmul path's pre-kernel anti-join is
+    # exercised (a dead doc displacing a live one from a partition's k
+    # candidates would be invisible without them)
+    delete_docs(spark, out, [3, 11, 42])
+    return read_index(spark, out)
+
+
+def test_matmul_agg_identical_to_join(spark, tmp_path_factory):
+    """agg_impl='matmul' (doc-partitioned dense matmul + per-partition
+    top-k) must reproduce the join plan's (query_id, doc_id, score,
+    rank) rows exactly — across prune on/off and round_dp on/off, with
+    tombstones standing. Raw-precision scores are compared at 9 dp
+    (both plans' sum orders are partition-nondeterministic)."""
+    from engine.corpusgen import synth_queries
+    from engine.csearch import search_index
+
+    idx = _matmul_fixture(spark, tmp_path_factory, "mm_id")
+    qs = synth_queries(spark, 40)
+    for prune in (False, True):
+        for dp in (None, 4):
+            def rows(impl):
+                r = search_index(spark, idx, qs, k=10, prune=prune,
+                                 round_dp=dp, agg_impl=impl).collect()
+                return sorted((x.query_id, x.doc_id,
+                               round(x.score, 9), x.rank) for x in r)
+            assert rows("join") == rows("matmul"), (prune, dp)
+
+
+def test_matmul_ties_subk_and_no_phantom_zero_docs(spark, tmp_path):
+    """Three matmul edge cases the dense chunk could get wrong:
+    (a) exact score ties cut by doc_id asc at the k boundary — the
+        kernel's lexsort + the final window must agree with the join
+        plan's row_number tie-break;
+    (b) a query matching FEWER than k docs — the dense S row is 0 for
+        every non-matching doc in the partition, and those zeros must
+        never surface as phantom hits;
+    (c) a term absent from the corpus entirely."""
+    from engine.csearch import search_index
+    from engine.postings import build_index, read_index
+
+    # 12 identical docs -> 12 exactly-tied scores for "apple"; only
+    # docs 0-2 contain "kiwi"
+    rows = [(i, "apple pear " + ("kiwi" if i < 3 else "plum"))
+            for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "tie_idx")
+    build_index(spark, docs, out, n_shards=2, hot_df_threshold=10**9,
+                n_salts=2)
+    idx = read_index(spark, out)
+    qs = spark.createDataFrame(
+        [("t", "apple"), ("s", "kiwi"), ("z", "nosuchterm")],
+        "query_id string, query string")
+    got = {}
+    for impl in ("join", "matmul"):
+        r = search_index(spark, idx, qs, k=5, agg_impl=impl).collect()
+        got[impl] = sorted((x.query_id, x.doc_id, round(x.score, 9),
+                            x.rank) for x in r)
+    assert got["join"] == got["matmul"]
+    by_q = {}
+    for q, d, s, rk in got["matmul"]:
+        by_q.setdefault(q, []).append((d, rk))
+    # (a) ties cut to doc_id 0..4 in rank order
+    assert by_q["t"] == [(i, i + 1) for i in range(5)]
+    # (b) sub-k query returns only the 3 real matches, no 0-score docs
+    assert [d for d, _ in by_q["s"]] == [0, 1, 2]
+    # (c) unknown term -> no rows
+    assert "z" not in by_q
+
+
+def test_matmul_plan_repartitions_by_doc_and_auto_gates(
+        spark, tmp_path_factory):
+    """Plan shape: the matmul route must hash-repartition the decoded
+    rows by doc_id (that co-location is what makes per-partition
+    scores final); the auto route at tiny n_docs must pick the join
+    plan (no doc_id repartition). Also: a typo'd agg_impl fails loudly
+    (the A/B-mislabeling guard, same standard as DECODE_IMPL)."""
+    import pytest as _pytest
+
+    from engine.corpusgen import synth_queries
+    from engine.csearch import search_index
+
+    idx = _matmul_fixture(spark, tmp_path_factory, "mm_plan", n_docs=80)
+    qs = synth_queries(spark, 5)
+    def doc_repart(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [ln for ln in plan.splitlines()
+                if "hashpartitioning(doc_id" in ln
+                and "REPARTITION_BY_NUM" in ln]
+
+    mm = search_index(spark, idx, qs, k=5, agg_impl="matmul")
+    assert doc_repart(mm)
+    auto = search_index(spark, idx, qs, k=5)  # auto, n_docs < 100k
+    assert not doc_repart(auto)
+    with _pytest.raises(ValueError, match="agg_impl"):
+        search_index(spark, idx, qs, k=5, agg_impl="matmlu")
