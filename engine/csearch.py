@@ -331,7 +331,7 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
 AGG_IMPL = os.environ.get("SPARK_GRAFT_AGG_IMPL", "auto")
 
 
-def _matmul_topk_iter(qids: list, W, k: int, round_dp: int | None):
+def _matmul_topk_iter(bcast, k: int, round_dp: int | None):
     """mapInArrow kernel: per doc-partition, score the WHOLE query
     batch as one dense matmul and emit only that partition's per-query
     top-k candidates.
@@ -346,8 +346,9 @@ def _matmul_topk_iter(qids: list, W, k: int, round_dp: int | None):
     instead this kernel receives the UNIQUE decoded (term,doc,tf_part)
     rows hash-partitioned by doc_id — every row of a doc in one
     partition, so scores are FINAL within the kernel — densifies X one
-    ≤8192-doc column chunk at a time, runs one BLAS matmul per chunk,
-    and emits ≤k rows per (query, partition). The shuffle moves the
+    doc-column chunk at a time, multiplies CSR-W against it (see scale
+    notes), and emits ≤k rows per (query, partition). The shuffle moves
+    the
     unique decoded rows once (int term-index, not the string), never
     the query fan-out, and the downstream window sees
     n_partitions×n_queries×k rows instead of 91M.
@@ -365,6 +366,19 @@ def _matmul_topk_iter(qids: list, W, k: int, round_dp: int | None):
     sub-k term matches). FP note: the sum order differs from the hash
     aggregate's, but the join plan's own sum order is already
     partition-nondeterministic, and the oracle gate rounds.
+
+    Scale notes: W is ~99.9% sparse (a query holds a handful of the
+    batch's unique terms), so it ships and multiplies as CSR —
+    (qptr, qtidx, qw) row-pointer arrays via a Spark broadcast
+    (`bcast`, once per executor, not per task; a 10k-query batch's
+    weights are MBs). Per chunk the kernel GATHERS each query's few
+    term-rows of the dense X and segment-sums them
+    (np.add.reduceat) — nnz*c fused multiply-adds instead of
+    dgemm's n_q*n_t*c (~1000x fewer for zipf batches; the dense
+    dgemm variant profiled as one 25 s memory-bus-bound stage at 32
+    threads). The chunk width adapts so the per-task transients
+    (X: n_t x c, gathered: nnz x c, S: n_q x c doubles) stay
+    ~<=128 MB regardless of batch size.
     """
     import pyarrow as pa
 
@@ -373,10 +387,12 @@ def _matmul_topk_iter(qids: list, W, k: int, round_dp: int | None):
         ("doc_id", pa.int64()),
         ("score", pa.float64()),
     ])
-    n_q, n_t = W.shape
-    CHUNK = 8192
 
     def fn(batches):
+        qids, n_t, qptr, qtidx, qw = bcast.value
+        n_q = len(qids)
+        nnz = qtidx.size
+        CHUNK = int(min(8192, max(512, 16e6 / max(1, n_t + n_q + nnz))))
         tidx_l, doc_l, x_l = [], [], []
         for b in batches:
             cols = {n: b.column(i) for i, n in enumerate(b.schema.names)}
@@ -403,7 +419,11 @@ def _matmul_topk_iter(qids: list, W, k: int, round_dp: int | None):
             X = np.zeros((n_t, c))
             # duplicate (term,doc) rows sum, same as the groupBy
             np.add.at(X, (tidx[r0:r1], dinv[r0:r1] - lo), x[r0:r1])
-            S = W @ X
+            # CSR W x dense X: gather each query's term-rows, scale,
+            # segment-sum (rows are qi-sorted, qptr marks row starts)
+            G = X[qtidx]
+            G *= qw[:, None]
+            S = np.add.reduceat(G, qptr, axis=0)
             hit = S > 0.0  # strict: w>0 and tf_part>0 for every posting
             if round_dp is not None:
                 S = np.round(S, round_dp)
@@ -458,13 +478,16 @@ def _matmul_score_topk(decoded: DataFrame, qterm_pd: pd.DataFrame,
     qids = sorted(qterm_pd["query_id"].unique())
     tmap = {t: i for i, t in enumerate(terms_u)}
     qmap = {q: i for i, q in enumerate(qids)}
-    W = np.zeros((len(qids), len(terms_u)))
-    np.add.at(
-        W,
-        (qterm_pd["query_id"].map(qmap).to_numpy(),
-         qterm_pd["term"].map(tmap).to_numpy()),
-        qterm_pd["w"].to_numpy(),
-    )
+    # CSR weight matrix, query-major: qptr[q] is query q's first entry
+    # (every query has >= 1 — qids comes from qterm itself); duplicate
+    # (q, t) entries would sum in the kernel's segment-sum, same as the
+    # join plan's groupBy
+    qi = qterm_pd["query_id"].map(qmap).to_numpy()
+    ti = qterm_pd["term"].map(tmap).to_numpy()
+    wv = qterm_pd["w"].to_numpy(dtype=np.float64)
+    order = np.lexsort((ti, qi))
+    qi, qtidx, qw = qi[order], ti[order], wv[order]
+    qptr = np.searchsorted(qi, np.arange(len(qids)))
     tix = F.broadcast(spark.createDataFrame(
         [(t, i) for t, i in tmap.items()], "term string, tidx int"))
     rows = (
@@ -472,8 +495,14 @@ def _matmul_score_topk(decoded: DataFrame, qterm_pd: pd.DataFrame,
         .select("tidx", "doc_id", "tf_part")
         .repartition(spark.sparkContext.defaultParallelism * 4, "doc_id")
     )
+    # the CSR weights ride a Spark broadcast: once per executor, not
+    # once per task. Tracked in the serving registry so the NEXT
+    # search_index call's entry release drops it (same capped-at-one
+    # lifecycle as the persisted posting rows).
+    bcast = _track_persist(spark.sparkContext.broadcast(
+        (qids, len(terms_u), qptr, qtidx, qw)))
     return rows.mapInArrow(
-        _matmul_topk_iter(qids, W, k, round_dp), SCORE_ROWS_TOPK)
+        _matmul_topk_iter(bcast, k, round_dp), SCORE_ROWS_TOPK)
 
 
 SCORE_ROWS_TOPK = StructType(
@@ -518,10 +547,13 @@ _SERVING_PERSISTS: list = []
 
 
 def release_serving_cache() -> None:
-    """Eagerly unpersist posting-row plans persisted by earlier
-    search_index calls. Call between serving batches (or at shutdown)
-    in long-lived sessions; search_index also calls it on entry, so at
-    most ONE persisted plan is ever live."""
+    """Eagerly unpersist posting-row plans (and the matmul weight
+    broadcast) persisted by earlier search_index calls. Call between
+    serving batches (or at shutdown) in long-lived sessions;
+    search_index also calls it on entry, so at most ONE call's objects
+    are ever live. unpersist (never destroy) on the broadcast: a
+    still-unevaluated prior result can lazily re-fetch it from the
+    driver."""
     while _SERVING_PERSISTS:
         df = _SERVING_PERSISTS.pop()
         try:
@@ -530,9 +562,10 @@ def release_serving_cache() -> None:
             pass  # session already stopped — nothing to release
 
 
-def _track_persist(df: DataFrame) -> DataFrame:
-    _SERVING_PERSISTS.append(df)
-    return df
+def _track_persist(obj):
+    """Register a persisted DataFrame or Broadcast for entry-release."""
+    _SERVING_PERSISTS.append(obj)
+    return obj
 
 
 def _pb_pruned_postings(index: dict, terms: list[str]) -> DataFrame:
