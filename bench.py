@@ -547,7 +547,16 @@ def run_query_scaling(n_docs: int, mode: str = "local",
     """The serving-side twin of run_scaling: the SAME pruned top-10
     batch at N vs 4N parallelism over one shared on-disk index. Query
     count via SPARK_GRAFT_SCALE_QUERIES (default 400 — big enough that
-    the batch is a real distributed job, not scheduler overhead)."""
+    the batch is a real distributed job, not scheduler overhead).
+
+    SPARK_GRAFT_SCALE_QUERIES_BASE (optional, e.g. 400 against a 1600
+    main batch): ALSO time a base-size batch per leg and report the
+    MARGINAL wall (main - base) and its efficiency — the serving
+    analog of the build protocol's minus-fixed number. A serving batch
+    pays a per-batch fixed term (driver query prep, the handful of
+    chained stage launches, python-worker spin-up) that no executor
+    count shrinks but that amortizes over batch size on a standing
+    cluster; the marginal per-query cost is the term that must scale."""
     import subprocess
 
     corpus = _scaling_corpus(n_docs, vocab_size=vocab_size)
@@ -578,24 +587,33 @@ def run_query_scaling(n_docs: int, mode: str = "local",
         env_common["SPARK_GRAFT_SCALE_VOCAB"] = str(vocab_size)
     walls: dict[int, list[float]] = {c: [] for c in legs}
     qps: dict[int, list[float]] = {c: [] for c in legs}
+    base_n = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES_BASE", "0"))
+    base_walls: dict[int, list[float]] = {c: [] for c in legs}
     meta: dict = {}
+
+    def _leg(cpus: int, n_override: int | None = None) -> dict:
+        env = dict(os.environ)
+        env.update(env_common)
+        if n_override:
+            env["SPARK_GRAFT_SCALE_QUERIES"] = str(n_override)
+        if legs[cpus]:
+            env["SPARK_GRAFT_MASTER"] = legs[cpus]
+        else:
+            env.pop("SPARK_GRAFT_MASTER", None)
+        out = subprocess.run(
+            [sys.executable, __file__, "--query-phase", corpus, str(cpus)],
+            capture_output=True, text=True, check=True, env=env,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
     for rep in range(reps):
         for cpus in legs:
-            env = dict(os.environ)
-            env.update(env_common)
-            if legs[cpus]:
-                env["SPARK_GRAFT_MASTER"] = legs[cpus]
-            else:
-                env.pop("SPARK_GRAFT_MASTER", None)
-            out = subprocess.run(
-                [sys.executable, __file__, "--query-phase", corpus,
-                 str(cpus)],
-                capture_output=True, text=True, check=True, env=env,
-            )
-            parsed = json.loads(out.stdout.strip().splitlines()[-1])
+            parsed = _leg(cpus)
             walls[cpus].append(parsed["wall_sec"])
             qps[cpus].append(parsed["queries_per_sec"])
             meta = parsed
+            if base_n:
+                base_walls[cpus].append(_leg(cpus, base_n)["wall_sec"])
     best = {c: min(v) for c, v in walls.items()}
     hw = _hw_ceiling()
     eff = round((best[8] / best[32]) / 4, 3)
@@ -615,6 +633,19 @@ def run_query_scaling(n_docs: int, mode: str = "local",
         "all_walls": {str(c): v for c, v in walls.items()},
         "measured_unix_ts": round(time.time(), 1),
     }
+    if base_n and all(base_walls.values()):
+        bbest = {c: min(v) for c, v in base_walls.items()}
+        marg = {c: round(best[c] - bbest[c], 3) for c in legs}
+        result["base_n_queries"] = base_n
+        result["base_walls"] = {str(c): v for c, v in base_walls.items()}
+        result["marginal_wall_8"] = marg[8]
+        result["marginal_wall_32"] = marg[32]
+        if marg[32] > 0 and marg[8] > 0:
+            result["marginal_efficiency"] = round(
+                (marg[8] / marg[32]) / 4, 3)
+            result["marginal_efficiency_vs_hw_ceiling"] = round(
+                result["marginal_efficiency"]
+                / (hw["max_speedup_8_to_32"] / 4), 3)
     with open(_SCALING_QUERY_EVIDENCE_PATHS[(mode, bool(vocab_size))],
               "w") as fh:
         json.dump(result, fh)

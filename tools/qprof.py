@@ -90,12 +90,14 @@ def main() -> None:
                 sid = si["Stage ID"]
                 sub = si.get("Submission Time")
                 comp = si.get("Completion Time")
-                stages[sid] = {
+                # TaskEnd events precede StageCompleted: merge, don't
+                # replace, or the accumulated task metrics are wiped
+                stages.setdefault(sid, {}).update({
                     "name": si["Stage Name"].split("\n")[0][:70],
                     "wall": round((comp - sub) / 1e3, 2) if sub and comp
                     else None,
                     "tasks": si["Number of Tasks"],
-                }
+                })
             elif ev.get("Event") == "SparkListenerTaskEnd":
                 sid = ev["Stage ID"]
                 m = ev.get("Task Metrics") or {}
