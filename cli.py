@@ -15,6 +15,7 @@ functions the driver contract gates.
     spark-submit ... cli.py stream_ingest --index /data/idx --input /drop
     spark-submit ... cli.py merge --index /data/idx --strategy auto
     spark-submit ... cli.py dedup --sf 0.01 --out /data/dups --method minhash
+    spark-submit ... cli.py verify --index /data/idx --corpus /data/corpus
 
 Corpus inputs accept --corpus (parquet path OR catalog table id, see
 engine/sources.py), --sf N (driver testdata), or --gen N (synthesized).
@@ -397,6 +398,23 @@ def cmd_compact(args) -> None:
     }))
 
 
+def cmd_verify(args) -> None:
+    """Beyond-reference ops: audit a standing index against its source
+    corpus — per-row content sha256 equality (the north rule's
+    invariant), presence both ways, tombstone accounting, optional
+    exact-dl recount (engine/postings.verify_index). Scalar counts
+    only; exits non-zero when the audit fails."""
+    from engine.postings import verify_index
+
+    spark = _spark("cli-verify")
+    docs, id_col, text_col = _load_corpus(spark, args)
+    r = verify_index(spark, args.index, docs, id_col=id_col,
+                     text_col=text_col, recount_dl=args.recount_dl)
+    print(json.dumps(r))
+    if not r["ok"]:
+        raise SystemExit(1)
+
+
 def cmd_dedup(args) -> None:
     """Beyond-reference pipeline op: per-doc dedup verdict
     (doc_id, canonical_id, is_dup) -> parquet. --method exact uses the
@@ -518,6 +536,12 @@ def main() -> None:
     p.add_argument("--salts", type=int, default=8)
     p.add_argument("--hot-df", type=int, default=1 << 17)
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("verify")
+    p.add_argument("--index", required=True)
+    p.add_argument("--recount-dl", action="store_true")
+    _add_corpus_args(p)
+    p.set_defaults(fn=cmd_verify)
 
     p = sub.add_parser("dedup")
     _add_corpus_args(p)

@@ -522,10 +522,18 @@ def _matmul_score_topk(decoded: DataFrame, qterm_pd: pd.DataFrame,
     qptr = np.searchsorted(qi, np.arange(len(qids)))
     tix = F.broadcast(spark.createDataFrame(
         [(t, i) for t, i in tmap.items()], "term string, tidx int"))
+    # KPROF attribution after the dot rewrite: each kernel task spends
+    # ~1 s waiting on the JVM side (shuffle fetch + building its Arrow
+    # input) — a per-task constant whose TOTAL grows with task count —
+    # so the wave factor is a measured knob (BASELINE.md round-4
+    # serving table), not 4-by-analogy-with-spread. doc_id hashing is
+    # skew-free (unlike the term axis), so extra waves buy no balance.
+    factor = int(os.environ.get("SPARK_GRAFT_MATMUL_PARTS_FACTOR", "4"))
     rows = (
         decoded.join(tix, "term")
         .select("tidx", "doc_id", "tf_part")
-        .repartition(spark.sparkContext.defaultParallelism * 4, "doc_id")
+        .repartition(spark.sparkContext.defaultParallelism * factor,
+                     "doc_id")
     )
     # the CSR weights ride a Spark broadcast: once per executor, not
     # once per task. Tracked in the serving registry so the NEXT

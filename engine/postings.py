@@ -1260,6 +1260,89 @@ def read_index(spark: SparkSession, out_dir: str) -> dict:
     }
 
 
+def verify_index(spark: SparkSession, out_dir: str, docs: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "content",
+                 recount_dl: bool = False) -> dict:
+    """Distributed per-row audit of an index against its source corpus
+    — the north rule's "content sha256 equality verified per row
+    against the source" as an ops command, not just a build-time test
+    (tests/test_core.py::test_content_sha_invariant pins the invariant
+    at build; THIS re-checks a standing index later, e.g. after stream
+    ingests, merges, or compactions).
+
+    One full-outer join of the index's doc_stats (doc_id, dl,
+    content_sha) against sha2(source.text) on doc_id; only scalar
+    counts reach the driver, so the audit is a single shuffle at any
+    scale. recount_dl=True additionally re-tokenizes the source and
+    compares exact dl (the expensive variant — one tokenize pass,
+    same cost class as a rebuild's stats job).
+
+    Returns counts: n_index / n_source / matched / sha_mismatch /
+    dl_mismatch / missing_in_index / missing_in_source / tombstoned,
+    and ok = (sha_mismatch == dl_mismatch == missing_in_index == 0 and
+    every index-only doc is tombstoned). missing_in_index counts
+    source docs absent from doc_stats — note a doc deleted AND
+    compacted away is indistinguishable from a lost doc unless the
+    caller filters deleted ids from `docs` first."""
+    idx = _dedup_doc_stats(spark, out_dir).select(
+        "doc_id", F.col("dl").alias("_idx_dl"),
+        F.col("content_sha").alias("_idx_sha"))
+    src = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.sha2(F.col(text_col).cast("string"), 256).alias("_src_sha"),
+    )
+    if recount_dl:
+        from engine.analysis import with_tokens
+
+        src = with_tokens(docs, text_col).select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.sha2(F.col(text_col).cast("string"), 256).alias("_src_sha"),
+            F.size("tokens").cast("long").alias("_src_dl"),
+        )
+    tomb = read_tombstones(spark, out_dir)
+    j = idx.join(src, "doc_id", "full_outer")
+    if tomb is not None:
+        j = j.join(
+            tomb.select("doc_id").distinct().withColumn("_dead",
+                                                        F.lit(True)),
+            "doc_id", "left")
+    else:
+        j = j.withColumn("_dead", F.lit(None).cast("boolean"))
+    both = F.col("_idx_sha").isNotNull() & F.col("_src_sha").isNotNull()
+    cnt = [
+        F.sum(F.when(F.col("_idx_sha").isNotNull(), 1).otherwise(0)),
+        F.sum(F.when(F.col("_src_sha").isNotNull(), 1).otherwise(0)),
+        F.sum(F.when(both & (F.col("_idx_sha") == F.col("_src_sha")), 1)
+              .otherwise(0)),
+        F.sum(F.when(both & (F.col("_idx_sha") != F.col("_src_sha")), 1)
+              .otherwise(0)),
+        F.sum(F.when(F.col("_idx_sha").isNull(), 1).otherwise(0)),
+        F.sum(F.when(F.col("_src_sha").isNull(), 1).otherwise(0)),
+        F.sum(F.when(F.col("_src_sha").isNull()
+                     & F.col("_dead").isNotNull(), 1).otherwise(0)),
+        F.sum(F.when(F.col("_dead").isNotNull(), 1).otherwise(0)),
+    ]
+    if recount_dl:
+        cnt.append(F.sum(F.when(
+            both & (F.col("_idx_dl") != F.col("_src_dl")), 1).otherwise(0)))
+    row = j.agg(*cnt).collect()[0]
+    (n_index, n_source, matched, sha_mismatch, missing_in_index,
+     missing_in_source, index_only_dead, tombstoned) = (
+        int(row[i] or 0) for i in range(8))
+    dl_mismatch = int(row[8] or 0) if recount_dl else None
+    ok = (sha_mismatch == 0 and missing_in_index == 0
+          and missing_in_source == index_only_dead
+          and not dl_mismatch)
+    return {
+        "ok": ok, "n_index": n_index, "n_source": n_source,
+        "matched": matched, "sha_mismatch": sha_mismatch,
+        "dl_mismatch": dl_mismatch,
+        "missing_in_index": missing_in_index,
+        "missing_in_source": missing_in_source,
+        "tombstoned": tombstoned,
+    }
+
+
 # --------------------------------------------------------- deletes/compaction
 
 TOMBSTONES_SCHEMA = "doc_id long"

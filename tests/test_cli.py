@@ -147,6 +147,27 @@ def test_cli_delete_compact_roundtrip(spark, tmp_path, capsys):
     assert json.loads(out[-1])["n_tombstones"] == 2
 
 
+def test_cli_verify_audit(spark, tmp_path, capsys):
+    """`verify` audits a standing index against its source: clean after
+    build, clean after a deliberate delete (tombstone-aware), non-zero
+    exit on a corpus the index doesn't match."""
+    idx = str(tmp_path / "ver_idx")
+    _run(capsys, "index", "--sf", "0.001", "--out", idx,
+         "--shards", "2", "--salts", "2")
+    out = _run(capsys, "verify", "--index", idx, "--sf", "0.001")
+    r = json.loads(out[-1])
+    assert r["ok"] and r["matched"] == 500 and r["sha_mismatch"] == 0
+
+    _run(capsys, "delete", "--index", idx, "--ids", "7")
+    out = _run(capsys, "verify", "--index", idx, "--sf", "0.001",
+               "--recount-dl")
+    r = json.loads(out[-1])
+    assert r["ok"] and r["tombstoned"] == 1 and r["dl_mismatch"] == 0
+
+    with pytest.raises(SystemExit):
+        _run(capsys, "verify", "--index", idx, "--gen", "50")
+
+
 def test_cli_linker_out_of_scope(spark):
     with pytest.raises(SystemExit, match="out of scope"):
         cli.cmd_linker(None)
