@@ -524,11 +524,14 @@ def _matmul_score_topk(decoded: DataFrame, qterm_pd: pd.DataFrame,
         [(t, i) for t, i in tmap.items()], "term string, tidx int"))
     # KPROF attribution after the dot rewrite: each kernel task spends
     # ~1 s waiting on the JVM side (shuffle fetch + building its Arrow
-    # input) — a per-task constant whose TOTAL grows with task count —
-    # so the wave factor is a measured knob (BASELINE.md round-4
-    # serving table), not 4-by-analogy-with-spread. doc_id hashing is
-    # skew-free (unlike the term axis), so extra waves buy no balance.
-    factor = int(os.environ.get("SPARK_GRAFT_MATMUL_PARTS_FACTOR", "4"))
+    # input), so the wave factor was swept rather than kept at
+    # 4-by-analogy-with-spread (tools/wave_exp.py, BASELINE.md round-4
+    # serving table). Measured: a WEAK knob — best-of walls within
+    # ~12% across 1/2/4 — because the wait is partly data-proportional
+    # (fewer waves = 4x bigger per-task Arrow inputs) and a one-wave
+    # plan loses tail tolerance. factor=2 won on wall (tied with 4),
+    # variance, and 8->32 efficiency, hence the default.
+    factor = int(os.environ.get("SPARK_GRAFT_MATMUL_PARTS_FACTOR", "2"))
     rows = (
         decoded.join(tix, "term")
         .select("tidx", "doc_id", "tf_part")
