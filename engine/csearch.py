@@ -742,16 +742,33 @@ def search_index(
     # 'none': no persist — phases re-run the IN-pushdown scan
 
     # per-term stats from metadata columns only (column pruning keeps
-    # the bytes unread in this agg): df for idf, tmax for the UB math
-    tmeta = F.broadcast(payload.groupBy("term").agg(
+    # the bytes unread in this agg): df for idf, tmax for the UB math.
+    # qterm — one row per (query, term), bounded by the query batch —
+    # is evaluated EXACTLY ONCE and re-created as a local relation: its
+    # four consumers (qw broadcast, the matmul weight table, rareq,
+    # the phase-2 thresholds) are otherwise SEPARATE Spark jobs, each
+    # re-running this metadata scan's hundreds of sub-second tasks.
+    # The qprof decomposition (BASELINE.md round-4 serving) measured
+    # that scheduler-latency tail at ~1/4 of the 1600-query batch wall
+    # at local-cluster[8,4] — and it GROWS with executor count, the
+    # opposite of scaling. idf/w stay JVM-computed (collected after the
+    # expression), so scores are bit-identical to the multi-job plan
+    # (fuzz rank identity compares at 9 dp).
+    tmeta = payload.groupBy("term").agg(
         F.max("df").alias("df"),
         (F.max(F.array_max("block_max")) * F.lit(bfac)).alias("tmax"),
-    ))
-    # qterm: one row per (query, term) — tiny, stays broadcastable
-    qterm = (
+    )
+    qterm_rows = (
         qt.join(tmeta, "term")
         .withColumn("idf", idf_expr(n_docs))
         .withColumn("w", F.col("qtf") * F.col("idf"))
+        .select("query_id", "term", "qtf", "tmax", "idf", "w")
+        .collect()
+    )
+    qterm = spark.createDataFrame(
+        qterm_rows,
+        "query_id string, term string, qtf double, tmax double, "
+        "idf double, w double",
     )
     qw = F.broadcast(qterm.select("query_id", "term", "w"))
     # spread decode work off the tid-bucketed co-location once the
@@ -760,8 +777,12 @@ def search_index(
     spread = n_docs >= AUTO_PRUNE_MIN_DOCS
     if agg_impl == "auto":
         agg_impl = "matmul" if spread else "join"
-    qterm_pd = (qterm.select("query_id", "term", "w").toPandas()
-                if agg_impl == "matmul" else None)
+    qterm_pd = (pd.DataFrame(
+        {"query_id": pd.Series([r.query_id for r in qterm_rows],
+                               dtype=object),
+         "term": pd.Series([r.term for r in qterm_rows], dtype=object),
+         "w": pd.Series([r.w for r in qterm_rows], dtype="float64")})
+        if agg_impl == "matmul" else None)
 
     def _finish(scored: DataFrame) -> DataFrame:
         scored = _live(scored)
