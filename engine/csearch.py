@@ -50,7 +50,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType,
+    BinaryType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 from pyspark.sql.window import Window
 
@@ -330,6 +331,14 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
 #: AUTO_PRUNE_MIN_DOCS, the same bar as auto-prune/spread)
 AGG_IMPL = os.environ.get("SPARK_GRAFT_AGG_IMPL", "auto")
 
+#: matmul feed layout: '1' packs the doc-partitioning exchange into
+#: binary doc-bucket blobs (_decode_pack_arrow_iter — one python pass
+#: for decode+map+pack, thousands of shuffle rows instead of one per
+#: posting), '0' ships row-per-posting through _decode_tf_parts + a
+#: tidx join. Requires the arrow decode kernel ('0' is also forced
+#: under SPARK_GRAFT_DECODE_IMPL=pandas). A/B: tools/agg_exp.py.
+MATMUL_PACK = os.environ.get("SPARK_GRAFT_MATMUL_PACK", "1")
+
 
 def _matmul_topk_iter(bcast, k: int, round_dp: int | None):
     """mapInArrow kernel: per doc-partition, score the WHOLE query
@@ -401,11 +410,8 @@ def _matmul_topk_iter(bcast, k: int, round_dp: int | None):
 
         prof = os.environ.get("SPARK_GRAFT_KERNEL_PROF") == "1"
         t_start = _time.time()
-        qids, n_t, qptr, qtidx, qw = bcast.value
+        bval = bcast.value
         t_bcast = _time.time()
-        n_q = len(qids)
-        qpf = np.append(qptr, qtidx.size)
-        CHUNK = int(min(8192, max(512, 16e6 / max(1, n_t + n_q))))
         tidx_l, doc_l, x_l = [], [], []
         t_first = None
         for b in batches:
@@ -423,77 +429,317 @@ def _matmul_topk_iter(bcast, k: int, round_dp: int | None):
         tidx = np.concatenate(tidx_l)
         doc = np.concatenate(doc_l)
         x = np.concatenate(x_l)
-        if doc.size == 0:
-            return
-        udocs, dinv = np.unique(doc, return_inverse=True)
-        order = np.argsort(dinv, kind="stable")
-        tidx, dinv, x = tidx[order], dinv[order], x[order]
-        t_sort = _time.time()
-        cand_d = [[] for _ in range(n_q)]
-        cand_s = [[] for _ in range(n_q)]
-        for lo in range(0, udocs.size, CHUNK):
-            hi = min(lo + CHUNK, udocs.size)
-            r0 = np.searchsorted(dinv, lo, side="left")
-            r1 = np.searchsorted(dinv, hi, side="left")
-            c = hi - lo
-            X = np.zeros((n_t, c))
-            # duplicate (term,doc) rows sum, same as the groupBy
-            np.add.at(X, (tidx[r0:r1], dinv[r0:r1] - lo), x[r0:r1])
-            dcs = udocs[lo:hi]
-            # CSR W x dense X as one tiny matvec per query: a query's
-            # 2-5 term-rows of X, most of them the same hot zipf rows
-            # across queries, stay cache-resident — measured ~20x less
-            # wall than materializing the nnz x c gather and
-            # segment-summing it (see scale notes)
-            for q in range(n_q):
-                a, b = qpf[q], qpf[q + 1]
-                s = qw[a:b] @ X[qtidx[a:b]]
-                hitq = s > 0.0  # strict: w>0, tf_part>0 per posting
-                if not hitq.any():
-                    continue
-                if round_dp is not None:
-                    s = np.round(s, round_dp)
-                s[~hitq] = -np.inf
-                if c > k:
-                    kth = np.partition(s, c - k)[c - k]
-                    # >= keeps kth-score ties as candidates (superset
-                    # is safe; the final window re-cuts exactly)
-                    m = (s >= kth) & hitq
-                else:
-                    m = hitq
-                cand_d[q].append(dcs[m])
-                cand_s[q].append(s[m])
-        t_score = _time.time()
+        rb, timings = _matmul_emit(bval, tidx, doc, x, k, round_dp,
+                                   out_schema)
         if prof:
             print(
-                f"KPROF rows={doc.size} udocs={udocs.size} "
+                f"KPROF rows={doc.size} "
                 f"nb={n_batches} "
                 f"bcast={t_bcast - t_start:.3f} "
                 f"first={t_first - t_bcast:.3f} "
                 f"rest={t_read - t_first:.3f} "
-                f"sort={t_sort - t_read:.3f} score={t_score - t_sort:.3f}",
+                f"sort={timings[0]:.3f} score={timings[1]:.3f}",
                 file=_sys.stderr, flush=True)
-        out_q, out_d, out_s = [], [], []
-        for q in range(n_q):
-            if not cand_d[q]:
-                continue
-            d = np.concatenate(cand_d[q])
-            s = np.concatenate(cand_s[q])
-            sel = np.lexsort((d, -s))[:k]
-            out_q.append(np.full(sel.size, qids[q], dtype=object))
-            out_d.append(d[sel])
-            out_s.append(s[sel])
-        if out_q:
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.concatenate(out_q), type=pa.string()),
-                    pa.array(np.concatenate(out_d).astype(np.int64)),
-                    pa.array(np.concatenate(out_s)),
-                ],
-                schema=out_schema,
-            )
+        if rb is not None:
+            yield rb
 
     return fn
+
+
+def _matmul_emit(bval, tidx, doc, x, k, round_dp, out_schema):
+    """Shared scoring core of the matmul kernels: given this
+    partition's concatenated (tidx, doc, x) posting triples, score the
+    whole query batch per dense doc-chunk and return (RecordBatch |
+    None, (sort_sec, score_sec)). The CSR weight layout, the per-query
+    dot, chunking, rounding-before-selection, the superset kth-tie
+    keep, and the (score desc, doc_id asc) candidate order are all
+    documented on _matmul_topk_iter. bval may carry a 6th element: a
+    sorted int64 array of tombstoned doc_ids to drop BEFORE candidate
+    selection (the packed route can't anti-join rows JVM-side — see
+    _matmul_score_topk_packed)."""
+    import time as _time
+
+    import pyarrow as pa
+
+    qids, n_t, qptr, qtidx, qw = bval[:5]
+    dead = bval[5] if len(bval) > 5 else None
+    if doc.size == 0:
+        return None, (0.0, 0.0)
+    if dead is not None and dead.size:
+        m = ~np.isin(doc, dead)
+        tidx, doc, x = tidx[m], doc[m], x[m]
+        if doc.size == 0:
+            return None, (0.0, 0.0)
+    t0 = _time.time()
+    n_q = len(qids)
+    qpf = np.append(qptr, qtidx.size)
+    CHUNK = int(min(8192, max(512, 16e6 / max(1, n_t + n_q))))
+    udocs, dinv = np.unique(doc, return_inverse=True)
+    order = np.argsort(dinv, kind="stable")
+    tidx, dinv, x = tidx[order], dinv[order], x[order]
+    t_sort = _time.time()
+    cand_d = [[] for _ in range(n_q)]
+    cand_s = [[] for _ in range(n_q)]
+    for lo in range(0, udocs.size, CHUNK):
+        hi = min(lo + CHUNK, udocs.size)
+        r0 = np.searchsorted(dinv, lo, side="left")
+        r1 = np.searchsorted(dinv, hi, side="left")
+        c = hi - lo
+        X = np.zeros((n_t, c))
+        # duplicate (term,doc) rows sum, same as the groupBy
+        np.add.at(X, (tidx[r0:r1], dinv[r0:r1] - lo), x[r0:r1])
+        dcs = udocs[lo:hi]
+        # CSR W x dense X as one tiny matvec per query: a query's
+        # 2-5 term-rows of X, most of them the same hot zipf rows
+        # across queries, stay cache-resident — measured ~20x less
+        # wall than materializing the nnz x c gather and
+        # segment-summing it (see scale notes)
+        for q in range(n_q):
+            a, b = qpf[q], qpf[q + 1]
+            s = qw[a:b] @ X[qtidx[a:b]]
+            hitq = s > 0.0  # strict: w>0, tf_part>0 per posting
+            if not hitq.any():
+                continue
+            if round_dp is not None:
+                s = np.round(s, round_dp)
+            s[~hitq] = -np.inf
+            if c > k:
+                kth = np.partition(s, c - k)[c - k]
+                # >= keeps kth-score ties as candidates (superset
+                # is safe; the final window re-cuts exactly)
+                m = (s >= kth) & hitq
+            else:
+                m = hitq
+            cand_d[q].append(dcs[m])
+            cand_s[q].append(s[m])
+    t_score = _time.time()
+    out_q, out_d, out_s = [], [], []
+    for q in range(n_q):
+        if not cand_d[q]:
+            continue
+        d = np.concatenate(cand_d[q])
+        s = np.concatenate(cand_s[q])
+        sel = np.lexsort((d, -s))[:k]
+        out_q.append(np.full(sel.size, qids[q], dtype=object))
+        out_d.append(d[sel])
+        out_s.append(s[sel])
+    if not out_q:
+        return None, (t_sort - t0, t_score - t_sort)
+    rb = pa.RecordBatch.from_arrays(
+        [
+            pa.array(np.concatenate(out_q), type=pa.string()),
+            pa.array(np.concatenate(out_d).astype(np.int64)),
+            pa.array(np.concatenate(out_s)),
+        ],
+        schema=out_schema,
+    )
+    return rb, (t_sort - t0, t_score - t_sort)
+
+
+def _decode_pack_arrow_iter(avgdl: float, keep_col: str | None,
+                            tmap: dict, part_space: int):
+    """mapInArrow kernel fusing decode + term->tidx map + doc-bucket
+    PACK: posting rows in, one row per (present doc-bucket) out, with
+    the bucket's (doc_id, tidx, tf_part) triples as three raw numpy
+    buffers (int64 / int32 / float64 — bit-exact round-trip).
+
+    Why: the unpacked matmul feed shuffles ONE ROW PER POSTING
+    (~32 B of UnsafeRow for a 20 B triple) and the receiving kernel's
+    measured wait is dominated by the JVM assembling millions of Arrow
+    cells (KPROF 'first'; BASELINE.md round-4 serving). Packing turns
+    the doc-partitioning exchange into <= n_decode_tasks x part_space
+    binary rows — the per-posting bytes drop to the raw 20 and the
+    Arrow feed builds thousands of cells, not millions. The term->tidx
+    map rides the task closure (bounded by the batch's unique terms),
+    so the JVM-side join with the tidx table disappears too.
+
+    part = doc_id mod part_space; the downstream repartition hashes the
+    part VALUE, so every row of a doc lands in one partition (which is
+    all _matmul_emit needs). part_space is several buckets per
+    partition so the hash's balls-in-bins imbalance stays small."""
+    import pyarrow as pa
+
+    out_schema = pa.schema([
+        ("part", pa.int32()),
+        ("doc_pack", pa.binary()),
+        ("tidx_pack", pa.binary()),
+        ("tf_pack", pa.binary()),
+    ])
+
+    def fn(batches):
+        tidx_l, doc_l, x_l = [], [], []
+        for b in batches:
+            cols = {n: b.column(i) for i, n in enumerate(b.schema.names)}
+            term = cols["term"]
+            db, tb, lb = cols["doc_bytes"], cols["tf_bytes"], cols["dl_bytes"]
+            do, to, lo = cols["doc_off"], cols["tf_off"], cols["dl_off"]
+            kc = cols[keep_col] if keep_col else None
+            for i in range(b.num_rows):
+                keep = kc[i].as_py() if kc is not None else None
+                if kc is not None and keep is not None and len(keep) == 0:
+                    continue
+                ti = tmap.get(term[i].as_py())
+                if ti is None:  # term outside the batch (defensive)
+                    continue
+                d, t, dl = decode_blocked(
+                    db[i].as_py(), tb[i].as_py(), lb[i].as_py(),
+                    do[i].as_py(), to[i].as_py(), lo[i].as_py(),
+                    keep=keep,
+                )
+                if d.size == 0:
+                    continue
+                doc_l.append(d.astype(np.int64, copy=False))
+                tidx_l.append(np.full(d.size, ti, dtype=np.int32))
+                x_l.append(tf_part(t, dl, avgdl))
+        if not doc_l:
+            return
+        doc = np.concatenate(doc_l)
+        tidx = np.concatenate(tidx_l)
+        x = np.concatenate(x_l).astype(np.float64, copy=False)
+        part = (doc % part_space).astype(np.int32)
+        order = np.argsort(part, kind="stable")
+        doc, tidx, x, part = doc[order], tidx[order], x[order], part[order]
+        uparts, starts = np.unique(part, return_index=True)
+        bounds = np.append(starts, part.size)
+        parts_out, dpk, tpk, xpk = [], [], [], []
+        for j in range(uparts.size):
+            s, e = bounds[j], bounds[j + 1]
+            parts_out.append(int(uparts[j]))
+            dpk.append(doc[s:e].tobytes())
+            tpk.append(tidx[s:e].tobytes())
+            xpk.append(x[s:e].tobytes())
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(parts_out, type=pa.int32()),
+                pa.array(dpk, type=pa.binary()),
+                pa.array(tpk, type=pa.binary()),
+                pa.array(xpk, type=pa.binary()),
+            ],
+            schema=out_schema,
+        )
+
+    return fn
+
+
+PACKED_ROWS = StructType(
+    [
+        StructField("part", IntegerType(), False),
+        StructField("doc_pack", BinaryType(), False),
+        StructField("tidx_pack", BinaryType(), False),
+        StructField("tf_pack", BinaryType(), False),
+    ]
+)
+
+
+def _matmul_topk_packed_iter(bcast, k: int, round_dp: int | None):
+    """mapInArrow kernel: packed doc-bucket rows -> per-partition
+    top-k candidates. np.frombuffer unpacks each bucket's triples
+    zero-copy; scoring is the shared _matmul_emit core (identical to
+    the row-wise kernel, pytest-pinned)."""
+    import pyarrow as pa
+
+    out_schema = pa.schema([
+        ("query_id", pa.string()),
+        ("doc_id", pa.int64()),
+        ("score", pa.float64()),
+    ])
+
+    def fn(batches):
+        import sys as _sys
+        import time as _time
+
+        prof = os.environ.get("SPARK_GRAFT_KERNEL_PROF") == "1"
+        t_start = _time.time()
+        bval = bcast.value
+        t_bcast = _time.time()
+        tidx_l, doc_l, x_l = [], [], []
+        t_first = None
+        n_batches = 0
+        for b in batches:
+            if t_first is None:
+                t_first = _time.time()
+            n_batches += 1
+            cols = {n: b.column(i) for i, n in enumerate(b.schema.names)}
+            dp, tp, xp = cols["doc_pack"], cols["tidx_pack"], cols["tf_pack"]
+            for i in range(b.num_rows):
+                doc_l.append(np.frombuffer(dp[i].as_py(), dtype=np.int64))
+                tidx_l.append(np.frombuffer(tp[i].as_py(), dtype=np.int32))
+                x_l.append(np.frombuffer(xp[i].as_py(), dtype=np.float64))
+        t_read = _time.time()
+        t_first = t_first or t_read
+        if not doc_l:
+            return
+        doc = np.concatenate(doc_l)
+        tidx = np.concatenate(tidx_l)
+        x = np.concatenate(x_l)
+        rb, timings = _matmul_emit(bval, tidx, doc, x, k, round_dp,
+                                   out_schema)
+        if prof:
+            print(
+                f"KPROF-PACKED rows={doc.size} nb={n_batches} "
+                f"bcast={t_bcast - t_start:.3f} "
+                f"first={t_first - t_bcast:.3f} "
+                f"rest={t_read - t_first:.3f} "
+                f"sort={timings[0]:.3f} score={timings[1]:.3f}",
+                file=_sys.stderr, flush=True)
+        if rb is not None:
+            yield rb
+
+    return fn
+
+
+def _csr_weights(qterm_pd: pd.DataFrame):
+    """Query-major CSR layout of the batch weight matrix (see
+    _matmul_topk_iter scale notes). Returns
+    (qids, terms_u, tmap, qptr, qtidx, qw); duplicate (q, t) entries
+    sum in the kernel's segment-sum, same as the join plan's groupBy."""
+    terms_u = sorted(qterm_pd["term"].unique())
+    qids = sorted(qterm_pd["query_id"].unique())
+    tmap = {t: i for i, t in enumerate(terms_u)}
+    qmap = {q: i for i, q in enumerate(qids)}
+    qi = qterm_pd["query_id"].map(qmap).to_numpy()
+    ti = qterm_pd["term"].map(tmap).to_numpy()
+    wv = qterm_pd["w"].to_numpy(dtype=np.float64)
+    order = np.lexsort((ti, qi))
+    qi, qtidx, qw = qi[order], ti[order], wv[order]
+    qptr = np.searchsorted(qi, np.arange(len(qids)))
+    return qids, terms_u, tmap, qptr, qtidx, qw
+
+
+def _matmul_score_topk_packed(rows: DataFrame, keep_col: str | None,
+                              avgdl: float, qterm_pd: pd.DataFrame,
+                              k: int, round_dp: int | None,
+                              dead_ids, spread: bool) -> DataFrame:
+    """The packed-shuffle matmul route: posting payload rows straight
+    through _decode_pack_arrow_iter (decode + tidx map + doc-bucket
+    pack in ONE python pass) -> a binary-blob exchange of <=
+    n_tasks x part_space rows -> _matmul_topk_packed_iter. Returns
+    per-partition top-k candidates exactly like _matmul_score_topk.
+
+    dead_ids: sorted int64 numpy array of tombstoned doc_ids (or
+    None) — packed rows can't be anti-joined JVM-side, so the kernel
+    drops them before candidate selection (same result as the
+    unpacked route's pre-matmul _live anti-join; the final window's
+    anti-join then re-applies as a no-op)."""
+    spark = rows.sparkSession
+    sc = spark.sparkContext
+    qids, terms_u, tmap, qptr, qtidx, qw = _csr_weights(qterm_pd)
+    factor = int(os.environ.get("SPARK_GRAFT_MATMUL_PARTS_FACTOR", "2"))
+    width = sc.defaultParallelism * factor
+    # several doc-buckets per reduce partition: the exchange hashes the
+    # bucket VALUE, so bucket->partition is balls-in-bins; 8 per bin
+    # keeps the expected max/mean task skew ~1.5x instead of ~4x
+    part_space = width * 8
+    if spread:
+        rows = rows.repartition(sc.defaultParallelism * 4)
+    packed = rows.mapInArrow(
+        _decode_pack_arrow_iter(avgdl, keep_col, tmap, part_space),
+        PACKED_ROWS,
+    ).repartition(width, "part")
+    bcast = _track_persist(sc.broadcast(
+        (qids, len(terms_u), qptr, qtidx, qw, dead_ids)))
+    return packed.mapInArrow(
+        _matmul_topk_packed_iter(bcast, k, round_dp), SCORE_ROWS_TOPK)
 
 
 def _matmul_score_topk(decoded: DataFrame, qterm_pd: pd.DataFrame,
@@ -506,20 +752,9 @@ def _matmul_score_topk(decoded: DataFrame, qterm_pd: pd.DataFrame,
     could otherwise displace a live doc from that partition's k
     candidates before the anti-join runs)."""
     spark = decoded.sparkSession
-    terms_u = sorted(qterm_pd["term"].unique())
-    qids = sorted(qterm_pd["query_id"].unique())
-    tmap = {t: i for i, t in enumerate(terms_u)}
-    qmap = {q: i for i, q in enumerate(qids)}
     # CSR weight matrix, query-major: qptr[q] is query q's first entry
-    # (every query has >= 1 — qids comes from qterm itself); duplicate
-    # (q, t) entries would sum in the kernel's segment-sum, same as the
-    # join plan's groupBy
-    qi = qterm_pd["query_id"].map(qmap).to_numpy()
-    ti = qterm_pd["term"].map(tmap).to_numpy()
-    wv = qterm_pd["w"].to_numpy(dtype=np.float64)
-    order = np.lexsort((ti, qi))
-    qi, qtidx, qw = qi[order], ti[order], wv[order]
-    qptr = np.searchsorted(qi, np.arange(len(qids)))
+    # (every query has >= 1 — qids comes from qterm itself)
+    qids, terms_u, tmap, qptr, qtidx, qw = _csr_weights(qterm_pd)
     tix = F.broadcast(spark.createDataFrame(
         [(t, i) for t, i in tmap.items()], "term string, tidx int"))
     # KPROF attribution after the dot rewrite: each kernel task spends
@@ -790,13 +1025,37 @@ def search_index(
             scored = scored.withColumn("score", F.round("score", round_dp))
         return _topk(scored, k)
 
-    def _score_topk(decoded: DataFrame) -> DataFrame:
-        """decoded (term, doc_id, tf_part) -> exact top-k, via the
-        configured aggregation (module doc for AGG_IMPL; the matmul
-        kernel's own docstring for why the join plan loses at scale).
-        Both routes end in _finish, so rounding/tombstone/tie-break
-        semantics are shared (matmul pre-drops tombstones and
-        pre-rounds, making _finish's re-application a no-op)."""
+    if MATMUL_PACK not in ("0", "1"):
+        raise ValueError(
+            f"SPARK_GRAFT_MATMUL_PACK must be '0' or '1', got "
+            f"{MATMUL_PACK!r}")
+    # packed feed needs the fused arrow kernel; under the pandas decode
+    # A/B twin fall back to the row-per-posting feed so DECODE_IMPL
+    # keeps selecting ONE coherent python path end-to-end
+    use_pack = (agg_impl == "matmul" and MATMUL_PACK == "1"
+                and DECODE_IMPL == "arrow")
+
+    def _dead_ids():
+        t = index.get("tombstones")
+        if t is None:
+            return None
+        ids = np.sort(np.array(
+            [r.doc_id for r in t.select("doc_id").collect()],
+            dtype=np.int64))
+        return ids if ids.size else None
+
+    def _score_topk(rows: DataFrame, keep_col: str | None) -> DataFrame:
+        """posting payload rows -> exact top-k, via the configured
+        aggregation (module doc for AGG_IMPL; the matmul kernel's own
+        docstring for why the join plan loses at scale). All routes
+        end in _finish, so rounding/tombstone/tie-break semantics are
+        shared (matmul pre-drops tombstones and pre-rounds, making
+        _finish's re-application a no-op)."""
+        if use_pack:
+            return _finish(_matmul_score_topk_packed(
+                rows, keep_col, avgdl, qterm_pd, k, round_dp,
+                _dead_ids(), spread))
+        decoded = _decode_tf_parts(rows, avgdl, keep_col, spread=spread)
         if agg_impl == "join":
             return _finish(
                 decoded.join(qw, "term")
@@ -809,9 +1068,7 @@ def search_index(
     payload_cols = ("term", "doc_bytes", "tf_bytes", "dl_bytes",
                     "doc_off", "tf_off", "dl_off")
     if not prune:
-        return _score_topk(
-            _decode_tf_parts(payload.select(*payload_cols), avgdl, None,
-                             spread=spread))
+        return _score_topk(payload.select(*payload_cols), None)
 
     # phase 1: θ from the rarest (highest-idf, ties to min term) term
     # of each query; rare terms are decoded once each and the per-query
@@ -893,9 +1150,8 @@ def search_index(
             ),
         )
     )
-    return _score_topk(_decode_tf_parts(
-        blocks.select(*payload_cols, "keep_blocks"), avgdl, "keep_blocks",
-        spread=spread))
+    return _score_topk(blocks.select(*payload_cols, "keep_blocks"),
+                       "keep_blocks")
 
 
 def pruning_stats(

@@ -559,22 +559,35 @@ def _matmul_fixture(spark, tmp_path_factory, tag, n_docs=600):
 def test_matmul_agg_identical_to_join(spark, tmp_path_factory):
     """agg_impl='matmul' (doc-partitioned dense matmul + per-partition
     top-k) must reproduce the join plan's (query_id, doc_id, score,
-    rank) rows exactly — across prune on/off and round_dp on/off, with
-    tombstones standing. Raw-precision scores are compared at 9 dp
-    (both plans' sum orders are partition-nondeterministic)."""
+    rank) rows exactly — across prune on/off, round_dp on/off, AND
+    both matmul feed layouts (packed doc-bucket blobs vs
+    row-per-posting), with tombstones standing (the packed route drops
+    them in-kernel from the broadcast dead set, not via the JVM
+    anti-join). Raw-precision scores are compared at 9 dp (all plans'
+    sum orders are partition-nondeterministic)."""
+    import pytest as _pytest
+
+    import engine.csearch as cs
     from engine.corpusgen import synth_queries
     from engine.csearch import search_index
 
     idx = _matmul_fixture(spark, tmp_path_factory, "mm_id")
     qs = synth_queries(spark, 40)
-    for prune in (False, True):
-        for dp in (None, 4):
-            def rows(impl):
-                r = search_index(spark, idx, qs, k=10, prune=prune,
-                                 round_dp=dp, agg_impl=impl).collect()
-                return sorted((x.query_id, x.doc_id,
-                               round(x.score, 9), x.rank) for x in r)
-            assert rows("join") == rows("matmul"), (prune, dp)
+    monkeypatch = _pytest.MonkeyPatch()
+    try:
+        for prune in (False, True):
+            for dp in (None, 4):
+                def rows(impl, pack="1"):
+                    monkeypatch.setattr(cs, "MATMUL_PACK", pack)
+                    r = search_index(spark, idx, qs, k=10, prune=prune,
+                                     round_dp=dp, agg_impl=impl).collect()
+                    return sorted((x.query_id, x.doc_id,
+                                   round(x.score, 9), x.rank) for x in r)
+                want = rows("join")
+                assert want == rows("matmul", pack="0"), (prune, dp)
+                assert want == rows("matmul", pack="1"), (prune, dp)
+    finally:
+        monkeypatch.undo()
 
 
 def test_matmul_ties_subk_and_no_phantom_zero_docs(spark, tmp_path):
@@ -620,27 +633,39 @@ def test_matmul_ties_subk_and_no_phantom_zero_docs(spark, tmp_path):
 
 def test_matmul_plan_repartitions_by_doc_and_auto_gates(
         spark, tmp_path_factory):
-    """Plan shape: the matmul route must hash-repartition the decoded
-    rows by doc_id (that co-location is what makes per-partition
-    scores final); the auto route at tiny n_docs must pick the join
-    plan (no doc_id repartition). Also: a typo'd agg_impl fails loudly
-    (the A/B-mislabeling guard, same standard as DECODE_IMPL)."""
+    """Plan shape: the matmul route must hash-repartition by the
+    doc-co-locating key — the packed feed (MATMUL_PACK=1, default) by
+    the `part` doc-bucket column, the row-per-posting feed by doc_id
+    itself (either co-location makes per-partition scores final); the
+    auto route at tiny n_docs must pick the join plan (neither
+    exchange). Also: a typo'd agg_impl fails loudly (the
+    A/B-mislabeling guard, same standard as DECODE_IMPL)."""
     import pytest as _pytest
 
+    import engine.csearch as cs
     from engine.corpusgen import synth_queries
     from engine.csearch import search_index
 
     idx = _matmul_fixture(spark, tmp_path_factory, "mm_plan", n_docs=80)
     qs = synth_queries(spark, 5)
-    def doc_repart(df):
+    def repart_on(df, key):
         plan = df._jdf.queryExecution().executedPlan().toString()
         return [ln for ln in plan.splitlines()
-                if "hashpartitioning(doc_id" in ln
+                if f"hashpartitioning({key}" in ln
                 and "REPARTITION_BY_NUM" in ln]
 
     mm = search_index(spark, idx, qs, k=5, agg_impl="matmul")
-    assert doc_repart(mm)
+    assert repart_on(mm, "part")  # packed feed: bucket exchange
+    assert not repart_on(mm, "doc_id")
+    monkeypatch = _pytest.MonkeyPatch()
+    try:
+        monkeypatch.setattr(cs, "MATMUL_PACK", "0")
+        mm0 = search_index(spark, idx, qs, k=5, agg_impl="matmul")
+        assert repart_on(mm0, "doc_id")  # row feed: doc exchange
+        assert not repart_on(mm0, "part")
+    finally:
+        monkeypatch.undo()
     auto = search_index(spark, idx, qs, k=5)  # auto, n_docs < 100k
-    assert not doc_repart(auto)
+    assert not repart_on(auto, "doc_id") and not repart_on(auto, "part")
     with _pytest.raises(ValueError, match="agg_impl"):
         search_index(spark, idx, qs, k=5, agg_impl="matmlu")
