@@ -34,13 +34,21 @@ CORPUS = "/tmp/spark_graft_scaling_corpus_500000_v300000"
 OUT = os.path.join(REPO, "bench", "pack_exp_latest.json")
 
 
-def _run(pack: str, cpus: int) -> float:
+# --mode local-cluster: same A/B on REAL executor JVMs (netty shuffle),
+# the mode serving-scaling run 9 could not confirm the pack in.
+_LC_LEGS = {8: "local-cluster[2,4,10240]", 32: "local-cluster[8,4,10240]"}
+
+
+def _run(pack: str, cpus: int, mode: str = "local") -> float:
     env = dict(os.environ)
     env["SPARK_GRAFT_MATMUL_PACK"] = pack
     env["SPARK_GRAFT_AGG_IMPL"] = "matmul"
     env["SPARK_GRAFT_SCALE_VOCAB"] = "300000"
     env.setdefault("SPARK_GRAFT_SCALE_QUERIES", "1600")
-    env.pop("SPARK_GRAFT_MASTER", None)
+    if mode == "local-cluster":
+        env["SPARK_GRAFT_MASTER"] = _LC_LEGS[cpus]
+    else:
+        env.pop("SPARK_GRAFT_MASTER", None)
     out = subprocess.run(
         [sys.executable, BENCH, "--query-phase", CORPUS, str(cpus)],
         capture_output=True, text=True, check=True, env=env,
@@ -52,6 +60,11 @@ def main() -> None:
     reps = 3
     if "--reps" in sys.argv:
         reps = int(sys.argv[sys.argv.index("--reps") + 1])
+    mode = "local"
+    if "--mode" in sys.argv:
+        mode = sys.argv[sys.argv.index("--mode") + 1]
+    out_path = OUT.replace("_latest", "_lc_latest") \
+        if mode == "local-cluster" else OUT
     if not os.path.exists(CORPUS + "/_SUCCESS"):
         sys.path.insert(0, REPO)
         from bench import _scaling_corpus
@@ -60,12 +73,14 @@ def main() -> None:
     result: dict = {"n_docs": 500_000, "vocab_size": 300_000,
                     "n_queries": int(os.environ.get(
                         "SPARK_GRAFT_SCALE_QUERIES", "1600")),
-                    "reps": reps, "walls": {}}
+                    "reps": reps, "mode": mode, "walls": {}}
+    if mode == "local-cluster":
+        result["masters"] = {str(c): m for c, m in _LC_LEGS.items()}
     # interleave layouts within each rep so host-noise drift hits both
     for cpus in (32, 8):
         for rep in range(reps):
             for pack in ("0", "1"):
-                w = _run(pack, cpus)
+                w = _run(pack, cpus, mode)
                 key = f"pack{pack}_{cpus}"
                 result["walls"].setdefault(key, []).append(w)
                 print(f"rep{rep} {key}: {w:.1f}s", flush=True)
@@ -81,7 +96,7 @@ def main() -> None:
         if w8 and w32:
             result[f"query_eff_pack{pack}"] = round((w8 / w32) / 4, 3)
     result["measured_unix_ts"] = round(time.time(), 1)
-    with open(OUT, "w") as fh:
+    with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result))
 
