@@ -362,10 +362,14 @@ def _matmul_topk_iter(bcast, k: int, round_dp: int | None):
     the query fan-out, and the downstream window sees
     n_partitions×n_queries×k rows instead of 91M.
 
-    Exactness: hits are detected as unrounded score > 0 (idf and
-    tf_part are strictly positive — idf = ln(1+x), x > 0 — so a dense
-    zero means "no term of q occurs in d", which the join plan never
-    emits); rounding (round_dp) is applied BEFORE candidate selection,
+    Exactness: hits are detected as unrounded score > 0 when every
+    weight of q is positive (idf = ln(1+x), x > 0 on any
+    self-consistent index — so a dense zero means "no term of q
+    occurs in d", which the join plan never emits); if any weight is
+    <= 0 (the hybrid stats window, see search_index phase 2) the
+    kernel falls back to presence-in-X so negatively-scored hit docs
+    still rank, as they do under the join plan. Rounding (round_dp)
+    is applied BEFORE candidate selection,
     matching the join plan's round-then-window order; candidates are
     ordered by (score desc, doc_id asc), the exact _topk tie-break.
     Per-partition top-k of final scores is a superset of each query's
@@ -446,6 +450,16 @@ def _matmul_topk_iter(bcast, k: int, round_dp: int | None):
     return fn
 
 
+def _chunk_width(n_t: int, n_q: int) -> int:
+    """Doc-chunk width for the matmul kernel: keeps the dense
+    transient X (n_t x CHUNK doubles) near 128 MB. The floor is 16,
+    NOT hundreds — a high floor would let X grow linearly with the
+    batch's unique-term count and reintroduce the per-task OOM the
+    kernel exists to fix (at the floor X is 8*16*n_t bytes, i.e.
+    128 MB per 10^6 batch terms)."""
+    return int(min(8192, max(16, 16e6 / max(1, n_t + n_q))))
+
+
 def _matmul_emit(bval, tidx, doc, x, k, round_dp, out_schema):
     """Shared scoring core of the matmul kernels: given this
     partition's concatenated (tidx, doc, x) posting triples, score the
@@ -473,7 +487,14 @@ def _matmul_emit(bval, tidx, doc, x, k, round_dp, out_schema):
     t0 = _time.time()
     n_q = len(qids)
     qpf = np.append(qptr, qtidx.size)
-    CHUNK = int(min(8192, max(512, 16e6 / max(1, n_t + n_q))))
+    CHUNK = _chunk_width(n_t, n_q)
+    # hit = "doc contains a term of q". With all-positive weights
+    # (any self-consistent index) score > 0 is that test exactly and
+    # costs nothing extra; under the hybrid stats window where w can
+    # go negative (see search_index phase 2) a hit doc can score
+    # <= 0, so fall back to presence in the dense X — the join plan
+    # ranks those docs and the kernel must too.
+    allpos = [bool((qw[qpf[q]:qpf[q + 1]] > 0).all()) for q in range(n_q)]
     udocs, dinv = np.unique(doc, return_inverse=True)
     order = np.argsort(dinv, kind="stable")
     tidx, dinv, x = tidx[order], dinv[order], x[order]
@@ -496,8 +517,9 @@ def _matmul_emit(bval, tidx, doc, x, k, round_dp, out_schema):
         # segment-summing it (see scale notes)
         for q in range(n_q):
             a, b = qpf[q], qpf[q + 1]
-            s = qw[a:b] @ X[qtidx[a:b]]
-            hitq = s > 0.0  # strict: w>0, tf_part>0 per posting
+            Xq = X[qtidx[a:b]]
+            s = qw[a:b] @ Xq
+            hitq = s > 0.0 if allpos[q] else (Xq != 0).any(axis=0)
             if not hitq.any():
                 continue
             if round_dp is not None:
@@ -934,9 +956,21 @@ def search_index(
     # the tombstone set is meant to stay small relative to the index
     # (compact when it grows — same guidance as Lucene's
     # forceMergeDeletes).
+    # Read the tombstone parquet ONCE per call: the collected ids feed
+    # both consumers — the packed kernel's sorted dead-id array AND the
+    # anti-join side (rebuilt as a local relation, so the two _live
+    # actions on the pruned path don't re-scan the parquet either).
     tombs = index.get("tombstones")
+    dead_ids = None
     if tombs is not None:
-        tombs = F.broadcast(tombs.select("doc_id"))
+        dead_ids = np.sort(np.array(
+            [r.doc_id for r in tombs.select("doc_id").collect()],
+            dtype=np.int64))
+        if dead_ids.size:
+            tombs = F.broadcast(spark.createDataFrame(
+                [(int(i),) for i in dead_ids.tolist()], "doc_id long"))
+        else:
+            tombs, dead_ids = None, None
 
     def _live(scored: DataFrame) -> DataFrame:
         return (scored.join(tombs, "doc_id", "left_anti")
@@ -1035,15 +1069,6 @@ def search_index(
     use_pack = (agg_impl == "matmul" and MATMUL_PACK == "1"
                 and DECODE_IMPL == "arrow")
 
-    def _dead_ids():
-        t = index.get("tombstones")
-        if t is None:
-            return None
-        ids = np.sort(np.array(
-            [r.doc_id for r in t.select("doc_id").collect()],
-            dtype=np.int64))
-        return ids if ids.size else None
-
     def _score_topk(rows: DataFrame, keep_col: str | None) -> DataFrame:
         """posting payload rows -> exact top-k, via the configured
         aggregation (module doc for AGG_IMPL; the matmul kernel's own
@@ -1054,7 +1079,7 @@ def search_index(
         if use_pack:
             return _finish(_matmul_score_topk_packed(
                 rows, keep_col, avgdl, qterm_pd, k, round_dp,
-                _dead_ids(), spread))
+                dead_ids, spread))
         decoded = _decode_tf_parts(rows, avgdl, keep_col, spread=spread)
         if agg_impl == "join":
             return _finish(
@@ -1122,8 +1147,31 @@ def search_index(
     # — extra decoded blocks just move partial scores toward their
     # exact values (rank identity to the unpruned plan is pytest- and
     # oracle-gated).
+    # Negative-weight safety (all three guards are exact no-ops when
+    # every w > 0, i.e. on any self-consistent index — idf = ln(1+x),
+    # x > 0. They matter only in the hybrid stats window
+    # compact_tombstones documents: stats refreshed, merge pending —
+    # or a crash between them — where a term's stale df can exceed
+    # the refreshed N, making idf and hence w NEGATIVE):
+    #   (a) a term's max contribution to a doc's score is w*tmax when
+    #       w > 0 but 0 when w <= 0 (the doc simply not containing it
+    #       beats any positive tf), so UBsum sums max(w,0)*tmax;
+    #   (b) θ from phase 1 lower-bounds a doc's FINAL score only if
+    #       other terms can't subtract — negsum (the sum of the
+    #       negative terms' worst cases, <= 0) restores the bound;
+    #   (c) dividing the keep condition by w*bfac flips the
+    #       inequality for w < 0; a w <= 0 term can never RAISE a
+    #       score toward θ, so keep all its blocks (-inf threshold).
     ub = qterm.groupBy("query_id").agg(
-        F.sum(F.col("w") * F.col("tmax")).alias("ubsum")
+        F.sum(F.greatest(F.col("w"), F.lit(0.0)) * F.col("tmax"))
+        .alias("ubsum"),
+        F.sum(F.least(F.col("w") * F.col("tmax"), F.lit(0.0)))
+        .alias("negsum"),
+    )
+    rhs = (
+        (F.col("theta") + F.col("negsum") - F.col("ubsum"))
+        / (F.col("w") * F.lit(bfac))
+        + F.col("tmax") / F.lit(bfac)
     )
     thresh = F.broadcast(
         qterm.join(ub, "query_id")
@@ -1131,8 +1179,7 @@ def search_index(
         .withColumn("theta", F.coalesce(F.col("theta"), F.lit(float("-inf"))))
         .groupBy("term")
         .agg(F.min(
-            (F.col("theta") - F.col("ubsum")) / (F.col("w") * F.lit(bfac))
-            + F.col("tmax") / F.lit(bfac)
+            F.when(F.col("w") > 0, rhs).otherwise(F.lit(float("-inf")))
         ).alias("bthresh"))
     )
     blocks = (
@@ -1217,21 +1264,29 @@ def _pruning_stats_body(rows: DataFrame, avgdl: float, bfac: float,
     qterm = rows.groupBy("query_id", "term", "w").agg(
         (F.max(F.array_max("block_max")) * F.lit(bfac)).alias("tmax")
     )
+    # same negative-weight guards as search_index phase 2 (exact
+    # no-ops when every w > 0): true-UB ubsum, θ lowered by negsum,
+    # and w <= 0 terms keep all blocks
     ub = qterm.groupBy("query_id").agg(
-        F.sum(F.col("w") * F.col("tmax")).alias("ubsum")
+        F.sum(F.greatest(F.col("w"), F.lit(0.0)) * F.col("tmax"))
+        .alias("ubsum"),
+        F.sum(F.least(F.col("w") * F.col("tmax"), F.lit(0.0)))
+        .alias("negsum"),
     )
     meta = (
         qterm.join(ub, "query_id").join(theta, "query_id", "left")
         .withColumn("theta", F.coalesce(F.col("theta"), F.lit(float("-inf"))))
-        .select("query_id", "term", "tmax", "ubsum", "theta")
+        .select("query_id", "term", "tmax", "ubsum", "negsum", "theta")
     )
-    slack = F.col("theta") - (F.col("ubsum") - F.col("w") * F.col("tmax"))
+    slack = (F.col("theta") + F.col("negsum")
+             - (F.col("ubsum") - F.col("w") * F.col("tmax")))
     agg = (
         rows.join(F.broadcast(meta), ["query_id", "term"])
         .select(
             F.size("block_max").alias("total"),
             F.size(F.filter("block_max",
-                            lambda x: F.col("w") * x * F.lit(bfac) >= slack)
+                            lambda x: (F.col("w") <= 0)
+                            | (F.col("w") * x * F.lit(bfac) >= slack))
                    ).alias("kept"),
         )
         .agg(F.sum("total"), F.sum("kept"))

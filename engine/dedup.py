@@ -262,8 +262,11 @@ def lsh_bucket_stats(buckets: DataFrame, key: str = "band_key",
     {n_buckets, max_size, n_hot, hot_docs, pairs_uncapped, pairs_capped}
     — pairs_* count candidate rows the hot buckets would/do generate
     (m*(m-1)/2 all-pairs vs A*(m-A) + A*(A-1)/2 multi-anchor star rows,
-    A = n_anchors). One aggregation over the bucket table."""
-    a = F.lit(n_anchors)
+    A = min(n_anchors, m): a hot bucket with fewer members than
+    n_anchors — reachable whenever max_bucket < n_anchors — makes
+    every member an anchor, so the un-clamped formula would undercount
+    or even go negative). One aggregation over the bucket table."""
+    a = F.least(F.lit(n_anchors), F.col("m"))
     capped = a * (F.col("m") - a) + a * (a - 1) / 2
     agg = (
         buckets.groupBy(key).agg(F.count(F.lit(1)).alias("m"))

@@ -1287,10 +1287,6 @@ def verify_index(spark: SparkSession, out_dir: str, docs: DataFrame,
     idx = _dedup_doc_stats(spark, out_dir).select(
         "doc_id", F.col("dl").alias("_idx_dl"),
         F.col("content_sha").alias("_idx_sha"))
-    src = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.sha2(F.col(text_col).cast("string"), 256).alias("_src_sha"),
-    )
     if recount_dl:
         from engine.analysis import with_tokens
 
@@ -1298,6 +1294,11 @@ def verify_index(spark: SparkSession, out_dir: str, docs: DataFrame,
             F.col(id_col).cast("long").alias("doc_id"),
             F.sha2(F.col(text_col).cast("string"), 256).alias("_src_sha"),
             F.size("tokens").cast("long").alias("_src_dl"),
+        )
+    else:
+        src = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.sha2(F.col(text_col).cast("string"), 256).alias("_src_sha"),
         )
     tomb = read_tombstones(spark, out_dir)
     j = idx.join(src, "doc_id", "full_outer")

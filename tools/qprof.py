@@ -79,41 +79,40 @@ def main() -> None:
     for p in parts:
         with open(p) as fh:
             lines.extend(fh)
-    if True:
-        for line in lines:
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            if ev.get("Event") == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                sid = si["Stage ID"]
-                sub = si.get("Submission Time")
-                comp = si.get("Completion Time")
-                # TaskEnd events precede StageCompleted: merge, don't
-                # replace, or the accumulated task metrics are wiped
-                stages.setdefault(sid, {}).update({
-                    "name": si["Stage Name"].split("\n")[0][:70],
-                    "wall": round((comp - sub) / 1e3, 2) if sub and comp
-                    else None,
-                    "tasks": si["Number of Tasks"],
-                })
-            elif ev.get("Event") == "SparkListenerTaskEnd":
-                sid = ev["Stage ID"]
-                m = ev.get("Task Metrics") or {}
-                s = stages.setdefault(sid, {})
-                s["task_time"] = s.get("task_time", 0) + m.get(
-                    "Executor Run Time", 0) / 1e3
-                s["max_task"] = max(s.get("max_task", 0),
-                                    m.get("Executor Run Time", 0) / 1e3)
-                sw = (m.get("Shuffle Write Metrics") or {}).get(
-                    "Shuffle Bytes Written", 0)
-                sr = (m.get("Shuffle Read Metrics") or {}).get(
-                    "Remote Bytes Read", 0) + (
-                    m.get("Shuffle Read Metrics") or {}).get(
-                    "Local Bytes Read", 0)
-                s["shuf_w_mb"] = round(s.get("shuf_w_mb", 0) + sw / 1e6, 1)
-                s["shuf_r_mb"] = round(s.get("shuf_r_mb", 0) + sr / 1e6, 1)
+    for line in lines:
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if ev.get("Event") == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            sid = si["Stage ID"]
+            sub = si.get("Submission Time")
+            comp = si.get("Completion Time")
+            # TaskEnd events precede StageCompleted: merge, don't
+            # replace, or the accumulated task metrics are wiped
+            stages.setdefault(sid, {}).update({
+                "name": si["Stage Name"].split("\n")[0][:70],
+                "wall": round((comp - sub) / 1e3, 2) if sub and comp
+                else None,
+                "tasks": si["Number of Tasks"],
+            })
+        elif ev.get("Event") == "SparkListenerTaskEnd":
+            sid = ev["Stage ID"]
+            m = ev.get("Task Metrics") or {}
+            s = stages.setdefault(sid, {})
+            s["task_time"] = s.get("task_time", 0) + m.get(
+                "Executor Run Time", 0) / 1e3
+            s["max_task"] = max(s.get("max_task", 0),
+                                m.get("Executor Run Time", 0) / 1e3)
+            sw = (m.get("Shuffle Write Metrics") or {}).get(
+                "Shuffle Bytes Written", 0)
+            sr = (m.get("Shuffle Read Metrics") or {}).get(
+                "Remote Bytes Read", 0) + (
+                m.get("Shuffle Read Metrics") or {}).get(
+                "Local Bytes Read", 0)
+            s["shuf_w_mb"] = round(s.get("shuf_w_mb", 0) + sw / 1e6, 1)
+            s["shuf_r_mb"] = round(s.get("shuf_r_mb", 0) + sr / 1e6, 1)
 
     print(f"\n=== {master} n_queries={n_queries} batch wall {wall:.1f}s "
           f"rows={n} ===")
