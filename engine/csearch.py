@@ -164,18 +164,30 @@ def _decode_score_arrow_iter(avgdl: float, keep_col: str | None):
 DECODE_IMPL = os.environ.get("SPARK_GRAFT_DECODE_IMPL", "arrow")
 
 
-def _decode_scores(rows: DataFrame, avgdl: float,
-                   keep_col: str | None) -> DataFrame:
-    """Apply the configured decode kernel to a posting-row projection."""
-    if DECODE_IMPL == "arrow":
-        return rows.mapInArrow(
-            _decode_score_arrow_iter(avgdl, keep_col), SCORE_ROWS)
-    if DECODE_IMPL != "pandas":
-        # mirror build_index(encode_impl=...): a typo'd env value must
-        # fail loudly, not silently mislabel an A/B measurement
+def _decode_impl() -> str:
+    """Validated DECODE_IMPL: mirror build_index(encode_impl=...) — a
+    typo'd env value must fail loudly, not silently mislabel an A/B
+    measurement. One validator for every kernel-selection site."""
+    if DECODE_IMPL not in ("arrow", "pandas"):
         raise ValueError(
             f"SPARK_GRAFT_DECODE_IMPL must be 'arrow' or 'pandas', got "
             f"{DECODE_IMPL!r}")
+    return DECODE_IMPL
+
+
+def _matmul_parts_factor() -> int:
+    """Reduce-partition wave factor of the matmul exchange (width =
+    defaultParallelism x factor). Swept in tools/wave_exp.py — a WEAK
+    knob; 2 won on wall/variance/efficiency (BASELINE.md round 4)."""
+    return int(os.environ.get("SPARK_GRAFT_MATMUL_PARTS_FACTOR", "2"))
+
+
+def _decode_scores(rows: DataFrame, avgdl: float,
+                   keep_col: str | None) -> DataFrame:
+    """Apply the configured decode kernel to a posting-row projection."""
+    if _decode_impl() == "arrow":
+        return rows.mapInArrow(
+            _decode_score_arrow_iter(avgdl, keep_col), SCORE_ROWS)
     return rows.mapInPandas(_decode_score_iter(avgdl, keep_col), SCORE_ROWS)
 
 
@@ -303,13 +315,9 @@ def _decode_tf_parts(rows: DataFrame, avgdl: float,
     if spread:
         sc = rows.sparkSession.sparkContext
         rows = rows.repartition(sc.defaultParallelism * 4)
-    if DECODE_IMPL == "arrow":
+    if _decode_impl() == "arrow":
         return rows.mapInArrow(
             _decode_tf_arrow_iter(avgdl, keep_col), TFPART_ROWS)
-    if DECODE_IMPL != "pandas":
-        raise ValueError(
-            f"SPARK_GRAFT_DECODE_IMPL must be 'arrow' or 'pandas', got "
-            f"{DECODE_IMPL!r}")
     return rows.mapInPandas(_decode_tf_iter(avgdl, keep_col), TFPART_ROWS)
 
 
@@ -368,13 +376,17 @@ def _matmul_topk_iter(bcast, k: int, round_dp: int | None):
     occurs in d", which the join plan never emits); if any weight is
     <= 0 (the hybrid stats window, see search_index phase 2) the
     kernel falls back to presence-in-X so negatively-scored hit docs
-    still rank, as they do under the join plan. Rounding (round_dp)
-    is applied BEFORE candidate selection,
-    matching the join plan's round-then-window order; candidates are
+    still rank, as they do under the join plan. Rounding: the kernel
+    emits UNROUNDED scores and the caller's _finish applies the ONE
+    F.round both aggregation routes share — JVM BigDecimal HALF_UP,
+    where np.round's half-to-even would diverge at decimal midpoints
+    — while every candidate cut is relaxed by one rounding quantum so
+    a doc that rounds into a kth-score tie (and could then win the
+    doc_id asc tie-break) is never cut kernel-side; candidates are
     ordered by (score desc, doc_id asc), the exact _topk tie-break.
-    Per-partition top-k of final scores is a superset of each query's
-    global top-k members from that partition, so the final small
-    window reproduces the join plan's ranking bit-for-bit
+    The per-partition candidate set is thus a superset of each query's
+    global rounded top-k members from that partition, so the final
+    small window reproduces the join plan's ranking bit-for-bit
     (pytest-gated identical on fixtures incl. ties, tombstones, and
     sub-k term matches). FP note: the sum order differs from the hash
     aggregate's, but the join plan's own sum order is already
@@ -465,12 +477,12 @@ def _matmul_emit(bval, tidx, doc, x, k, round_dp, out_schema):
     partition's concatenated (tidx, doc, x) posting triples, score the
     whole query batch per dense doc-chunk and return (RecordBatch |
     None, (sort_sec, score_sec)). The CSR weight layout, the per-query
-    dot, chunking, rounding-before-selection, the superset kth-tie
-    keep, and the (score desc, doc_id asc) candidate order are all
-    documented on _matmul_topk_iter. bval may carry a 6th element: a
-    sorted int64 array of tombstoned doc_ids to drop BEFORE candidate
-    selection (the packed route can't anti-join rows JVM-side — see
-    _matmul_score_topk_packed)."""
+    dot, chunking, the one-quantum candidate relaxation under round_dp,
+    the superset kth-tie keep, and the (score desc, doc_id asc)
+    candidate order are all documented on _matmul_topk_iter. bval may
+    carry a 6th element: a sorted int64 array of tombstoned doc_ids to
+    drop BEFORE candidate selection (the packed route can't anti-join
+    rows JVM-side — see _matmul_score_topk_packed)."""
     import time as _time
 
     import pyarrow as pa
@@ -487,6 +499,15 @@ def _matmul_emit(bval, tidx, doc, x, k, round_dp, out_schema):
     t0 = _time.time()
     n_q = len(qids)
     qpf = np.append(qptr, qtidx.size)
+    # one rounding quantum: the kernel emits UNROUNDED scores (the
+    # caller's _finish applies the single authoritative F.round, so
+    # matmul and join rounding are the same JVM HALF_UP operation —
+    # np.round's half-to-even diverged from F.round at decimal
+    # midpoints) and instead relaxes every candidate cut by `quant`:
+    # two scores that round equal differ by < quant, so no doc that
+    # would enter the rounded top-k (incl. by doc_id tie-break after
+    # rounding merges scores) can be cut here
+    quant = 10.0 ** -round_dp if round_dp is not None else 0.0
     CHUNK = _chunk_width(n_t, n_q)
     # hit = "doc contains a term of q". With all-positive weights
     # (any self-consistent index) score > 0 is that test exactly and
@@ -522,14 +543,14 @@ def _matmul_emit(bval, tidx, doc, x, k, round_dp, out_schema):
             hitq = s > 0.0 if allpos[q] else (Xq != 0).any(axis=0)
             if not hitq.any():
                 continue
-            if round_dp is not None:
-                s = np.round(s, round_dp)
             s[~hitq] = -np.inf
             if c > k:
                 kth = np.partition(s, c - k)[c - k]
-                # >= keeps kth-score ties as candidates (superset
-                # is safe; the final window re-cuts exactly)
-                m = (s >= kth) & hitq
+                # >= kth - quant keeps kth-score ties AND anything
+                # close enough to round into a tie as candidates
+                # (superset is safe; the final window re-cuts exactly
+                # on the F.rounded score)
+                m = (s >= kth - quant) & hitq
             else:
                 m = hitq
             cand_d[q].append(dcs[m])
@@ -541,7 +562,16 @@ def _matmul_emit(bval, tidx, doc, x, k, round_dp, out_schema):
             continue
         d = np.concatenate(cand_d[q])
         s = np.concatenate(cand_s[q])
-        sel = np.lexsort((d, -s))[:k]
+        ord_ = np.lexsort((d, -s))
+        if quant and ord_.size > k:
+            # keep every candidate within one quantum of the kth
+            # unrounded score: rounding can merge it into a kth tie
+            # that the (doc_id asc) tie-break then promotes
+            cut = s[ord_[k - 1]] - quant
+            n_keep = int(np.searchsorted(-s[ord_], -cut, side="right"))
+            sel = ord_[:max(k, n_keep)]
+        else:
+            sel = ord_[:k]
         out_q.append(np.full(sel.size, qids[q], dtype=object))
         out_d.append(d[sel])
         out_s.append(s[sel])
@@ -684,9 +714,15 @@ def _matmul_topk_packed_iter(bcast, k: int, round_dp: int | None):
             cols = {n: b.column(i) for i, n in enumerate(b.schema.names)}
             dp, tp, xp = cols["doc_pack"], cols["tidx_pack"], cols["tf_pack"]
             for i in range(b.num_rows):
-                doc_l.append(np.frombuffer(dp[i].as_py(), dtype=np.int64))
-                tidx_l.append(np.frombuffer(tp[i].as_py(), dtype=np.int32))
-                x_l.append(np.frombuffer(xp[i].as_py(), dtype=np.float64))
+                # as_buffer(): a pa.Buffer view into the Arrow batch —
+                # np.frombuffer wraps it without the bytes copy
+                # .as_py() would make per multi-MB blob
+                doc_l.append(np.frombuffer(
+                    dp[i].as_buffer(), dtype=np.int64))
+                tidx_l.append(np.frombuffer(
+                    tp[i].as_buffer(), dtype=np.int32))
+                x_l.append(np.frombuffer(
+                    xp[i].as_buffer(), dtype=np.float64))
         t_read = _time.time()
         t_first = t_first or t_read
         if not doc_l:
@@ -746,8 +782,7 @@ def _matmul_score_topk_packed(rows: DataFrame, keep_col: str | None,
     spark = rows.sparkSession
     sc = spark.sparkContext
     qids, terms_u, tmap, qptr, qtidx, qw = _csr_weights(qterm_pd)
-    factor = int(os.environ.get("SPARK_GRAFT_MATMUL_PARTS_FACTOR", "2"))
-    width = sc.defaultParallelism * factor
+    width = sc.defaultParallelism * _matmul_parts_factor()
     # several doc-buckets per reduce partition: the exchange hashes the
     # bucket VALUE, so bucket->partition is balls-in-bins; 8 per bin
     # keeps the expected max/mean task skew ~1.5x instead of ~4x
@@ -788,12 +823,12 @@ def _matmul_score_topk(decoded: DataFrame, qterm_pd: pd.DataFrame,
     # (fewer waves = 4x bigger per-task Arrow inputs) and a one-wave
     # plan loses tail tolerance. factor=2 won on wall (tied with 4),
     # variance, and 8->32 efficiency, hence the default.
-    factor = int(os.environ.get("SPARK_GRAFT_MATMUL_PARTS_FACTOR", "2"))
     rows = (
         decoded.join(tix, "term")
         .select("tidx", "doc_id", "tf_part")
-        .repartition(spark.sparkContext.defaultParallelism * factor,
-                     "doc_id")
+        .repartition(
+            spark.sparkContext.defaultParallelism * _matmul_parts_factor(),
+            "doc_id")
     )
     # the CSR weights ride a Spark broadcast: once per executor, not
     # once per task. Tracked in the serving registry so the NEXT
@@ -853,7 +888,18 @@ def release_serving_cache() -> None:
     search_index also calls it on entry, so at most ONE call's objects
     are ever live. unpersist (never destroy) on the broadcast: a
     still-unevaluated prior result can lazily re-fetch it from the
-    driver."""
+    driver.
+
+    Concurrency: the registry is module-global, so the capped-at-one
+    lifecycle assumes ONE serving caller per process (the batch model
+    this engine targets — one driver submits one batch at a time). Two
+    threads serving concurrently on one SparkSession would unpersist
+    each other's still-executing cache: results stay correct (Spark
+    recomputes / re-fetches), but the cache stops paying. Serve
+    concurrent batches from separate processes, or union the query
+    sets into one batch (the design-intended path — batch cost is
+    proportional to unique terms, so a merged batch is cheaper than
+    two)."""
     while _SERVING_PERSISTS:
         df = _SERVING_PERSISTS.pop()
         try:
@@ -1074,8 +1120,10 @@ def search_index(
         aggregation (module doc for AGG_IMPL; the matmul kernel's own
         docstring for why the join plan loses at scale). All routes
         end in _finish, so rounding/tombstone/tie-break semantics are
-        shared (matmul pre-drops tombstones and pre-rounds, making
-        _finish's re-application a no-op)."""
+        shared: _finish's F.round is the single rounding authority
+        (the matmul kernels emit unrounded candidate scores cut with
+        a one-quantum relaxation), and matmul pre-drops tombstones,
+        making _finish's anti-join a no-op."""
         if use_pack:
             return _finish(_matmul_score_topk_packed(
                 rows, keep_col, avgdl, qterm_pd, k, round_dp,
@@ -1221,6 +1269,11 @@ def pruning_stats(
     qt, terms = local_query_terms(spark, queries)
     if not terms:
         return {"total_blocks": 0, "kept_blocks": 0, "pruned_fraction": 0.0}
+    # same tombstone handling as search_index: θ must not be supported
+    # by deleted docs, or this reports more pruning than serving does
+    tombs = index.get("tombstones")
+    if tombs is not None:
+        tombs = F.broadcast(tombs.select("doc_id"))
     q = F.broadcast(qt)
     rows = (
         _pb_pruned_postings(index, terms)
@@ -1229,7 +1282,7 @@ def pruning_stats(
         .withColumn("w", F.col("qtf") * F.col("idf"))
     ).cache()
     try:
-        return _pruning_stats_body(rows, avgdl, bfac, k)
+        return _pruning_stats_body(rows, avgdl, bfac, k, tombs)
     finally:
         # the collect happens inside the body, so the cache can be
         # released eagerly (round-3 advisor: it used to leak)
@@ -1237,7 +1290,7 @@ def pruning_stats(
 
 
 def _pruning_stats_body(rows: DataFrame, avgdl: float, bfac: float,
-                        k: int) -> dict:
+                        k: int, tombs: DataFrame | None = None) -> dict:
     wmax = Window.partitionBy("query_id")
     rare = rows.withColumn("idf_max", F.max("idf").over(wmax)).where(
         F.col("idf") == F.col("idf_max")
@@ -1249,6 +1302,8 @@ def _pruning_stats_body(rows: DataFrame, avgdl: float, bfac: float,
         rare.select("query_id", "w", "doc_bytes", "tf_bytes", "dl_bytes",
                     "doc_off", "tf_off", "dl_off"),
         avgdl, None)
+    if tombs is not None:
+        phase1 = phase1.join(tombs, "doc_id", "left_anti")
     wrank = Window.partitionBy("query_id").orderBy(
         F.col("term_score").desc(), F.col("doc_id").asc()
     )

@@ -113,3 +113,84 @@ def test_lsh_bucket_stats_clamps_anchors_to_bucket_size(spark):
     assert s["n_hot"] == 2
     assert s["pairs_uncapped"] == 1 + 10
     assert s["pairs_capped"] == 1 + 9
+
+
+def test_matmul_round_matches_jvm_half_up(spark):
+    """F.round is JVM BigDecimal HALF_UP on the double's shortest
+    decimal repr; np.round is half-to-even — at a decimal midpoint the
+    two diverge (np.round(2.5) = 2.0, F.round(2.5, 0) = 3.0). The
+    matmul kernels therefore emit UNROUNDED candidate scores cut with
+    a one-quantum relaxation, and _finish's F.round is the single
+    rounding authority for every aggregation route.
+
+    Regression for the round-4 review finding: with kernel-side
+    np.round, a doc whose exact score is 2.5 was emitted as 2.0 and a
+    2.4-scoring lower-doc_id doc won the rounded tie — the join plan
+    (and the oracle) return the 2.5 doc at 3.0."""
+    import numpy as np
+    import pyarrow as pa
+
+    from engine.csearch import _matmul_emit, _topk
+
+    out_schema = pa.schema([
+        ("query_id", pa.string()),
+        ("doc_id", pa.int64()),
+        ("score", pa.float64()),
+    ])
+    # one query, one term, w = 1.25; doc 3 tf_part = 1.92 (score 2.4),
+    # doc 5 tf_part = 2.0 (score 2.5 — an exact decimal midpoint at
+    # round_dp=0)
+    bval = (["q"], 1, np.array([0]), np.array([0]),
+            np.array([1.25], dtype=np.float64))
+    tidx = np.array([0, 0], dtype=np.int64)
+    doc = np.array([3, 5], dtype=np.int64)
+    x = np.array([1.92, 2.0], dtype=np.float64)
+    rb, _ = _matmul_emit(bval, tidx, doc, x, k=1, round_dp=0,
+                         out_schema=out_schema)
+    got = {int(d): float(s) for d, s in
+           zip(rb.column("doc_id").to_pylist(),
+               rb.column("score").to_pylist())}
+    # the kernel keeps BOTH candidates (2.4 is within one quantum of
+    # the kth unrounded score 2.5) and rounds NEITHER
+    assert got == {3: 2.4, 5: 2.5}
+    # _finish's F.round + window: doc 5 rounds HALF_UP to 3.0 and wins
+    cand = spark.createDataFrame(
+        [("q", d, s) for d, s in got.items()],
+        "query_id string, doc_id long, score double",
+    ).withColumn("score", F.round("score", 0))
+    top = _topk(cand, 1).collect()
+    assert [(r.doc_id, r.score, r.rank) for r in top] == [(5, 3.0, 1)]
+
+
+def test_matmul_quantum_relaxation_keeps_rounded_tie_winner(spark):
+    """The final per-query kernel cut must keep a doc whose unrounded
+    score is below the kth but within one rounding quantum: after
+    F.round the two scores merge and the lower doc_id wins the window
+    tie-break — cutting exactly at k kernel-side would evict the true
+    winner."""
+    import numpy as np
+    import pyarrow as pa
+
+    from engine.csearch import _matmul_emit, _topk
+
+    out_schema = pa.schema([
+        ("query_id", pa.string()),
+        ("doc_id", pa.int64()),
+        ("score", pa.float64()),
+    ])
+    bval = (["q"], 1, np.array([0]), np.array([0]),
+            np.array([1.0], dtype=np.float64))
+    tidx = np.array([0, 0], dtype=np.int64)
+    doc = np.array([9, 2], dtype=np.int64)
+    x = np.array([1.00004, 1.00001], dtype=np.float64)
+    rb, _ = _matmul_emit(bval, tidx, doc, x, k=1, round_dp=4,
+                         out_schema=out_schema)
+    assert sorted(rb.column("doc_id").to_pylist()) == [2, 9]
+    cand = spark.createDataFrame(
+        [("q", int(d), float(s)) for d, s in
+         zip(rb.column("doc_id").to_pylist(),
+             rb.column("score").to_pylist())],
+        "query_id string, doc_id long, score double",
+    ).withColumn("score", F.round("score", 4))
+    top = _topk(cand, 1).collect()
+    assert [(r.doc_id, r.score) for r in top] == [(2, 1.0)]
