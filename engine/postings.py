@@ -316,20 +316,10 @@ def _merge_group_fn(avgdl: float):
             ds.append(d); ts.append(t); ls.append(dl)
         d = np.concatenate(ds)
         enc = encode_blocked(d, np.concatenate(ts), np.concatenate(ls), avgdl)
-        row = encode_rowdict = {
-            "tid": [int(key[0])],
-            "salt": [int(key[1])],
-            "n_docs": [d.size],
-            "doc_bytes": [enc["doc_bytes"]],
-            "tf_bytes": [enc["tf_bytes"]],
-            "dl_bytes": [enc["dl_bytes"]],
-            "block_last": [enc["block_last"]],
-            "block_max": [enc["block_max"]],
-            "doc_off": [enc["doc_off"]],
-            "tf_off": [enc["tf_off"]],
-            "dl_off": [enc["dl_off"]],
-        }
-        return pd.DataFrame(row)
+        # grouped-map output columns are matched by NAME, so reusing
+        # _enc_dict and appending the salt is schema-safe
+        return pd.DataFrame(
+            {**_enc_dict(key[0], d.size, enc), "salt": [int(key[1])]})
 
     return merge
 
@@ -383,9 +373,12 @@ def _decode_partials_fn(batches):
 
 
 def _reencode_tid_group_fn(avgdl: float):
-    """Grouped-map kernel: one (tid,) group of DECODED (doc_id, tf, dl)
-    posting rows -> one encoded partial row (tf already computed, unlike
-    _encode_tid_group_fn which counts raw occurrences)."""
+    """Grouped-map kernel: one (tid[, salt-group]) group of DECODED
+    (doc_id, tf, dl) posting rows -> one encoded partial row (tf
+    already computed, unlike _encode_tid_group_fn which counts raw
+    occurrences). Works under any composite grouping key whose first
+    element is the tid — dedup consolidation salts its groups by doc
+    hash so a hot term never lands in one task."""
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
         enc = encode_blocked(pdf["doc_id"].to_numpy(np.int64),
@@ -394,6 +387,120 @@ def _reencode_tid_group_fn(avgdl: float):
         return pd.DataFrame(_enc_dict(key[0], len(pdf), enc))
 
     return encode
+
+
+def _recover_dedup_pending(out_dir: str) -> int:
+    """Crash recovery for the dedup journaled swap: a pending entry in
+    the manifest means the consolidated output was fully written but
+    the rmtree+rename swap may have been interrupted anywhere — finish
+    it before anything else looks at (or writes to) the partials. The
+    journal is only written AFTER both tmp and ds_tmp completed, so
+    with a pending entry at least one recovery artifact exists: tmp
+    itself, ds_tmp (doc-stats half not yet promoted), or the renamed
+    final (crash after the tmp->final rename but before the journal was
+    cleared).
+
+    Returns the removed-count to report: a finished crash recovery must
+    still report what the interrupted dedup removed — returning 0 after
+    recovering a removal would let merge_partials' pure-append guard
+    take the incremental merge and keep ghost rows for terms the
+    recovered consolidation erased (belt; the durable
+    ``dedup_removed_unmerged`` manifest flag is braces). max(1, ...)
+    keeps the guard conservative even for a recovered entry that
+    recorded 0.
+
+    Single-writer guard: if stream shards exist on disk that the
+    journal does not list, someone appended a micro-batch BETWEEN the
+    crash and this recovery (the engine's own entry points all recover
+    BEFORE writing, so this means an out-of-band or concurrent writer).
+    Replaying the journaled doc-stats snapshot would silently erase
+    those batches' doc stats, so fail loudly instead."""
+    part_dir = os.path.join(out_dir, "partials")
+    tmp = os.path.join(out_dir, "_stream_dedup_tmp")
+    ds_tmp = os.path.join(out_dir, "_doc_stats_stream_tmp")
+    final = os.path.join(part_dir, "shard=streamdedup")
+    manifest = load_manifest(out_dir)
+    pending = manifest.get("stream_dedup_pending")
+    recoverable = pending and (
+        os.path.exists(os.path.join(tmp, "_SUCCESS"))
+        or os.path.exists(os.path.join(ds_tmp, "_SUCCESS"))
+        or os.path.exists(os.path.join(final, "_SUCCESS"))
+    )
+    if recoverable:
+        listed = set(pending.get("shards") or [])
+        on_disk = (
+            {s for s in os.listdir(part_dir)
+             if s.startswith("shard=stream")}
+            if os.path.isdir(part_dir) else set()
+        )
+        extra = sorted(on_disk - listed - {os.path.basename(final)})
+        if extra:
+            raise RuntimeError(
+                f"stream dedup crash recovery in {out_dir}: stream "
+                f"shards {extra} were written AFTER the interrupted "
+                f"dedup journaled its snapshot — replaying the swap "
+                f"would erase their doc stats. This index has a "
+                f"concurrent or out-of-band writer (the engine's entry "
+                f"points recover pending swaps before writing); move "
+                f"the extra shard dirs aside, finish recovery, then "
+                f"re-ingest them.")
+        _finish_dedup_swap(out_dir, part_dir, tmp, ds_tmp, final,
+                           pending["shards"], pending["n_postings"],
+                           pending["removed"])
+        return max(1, int(pending.get("removed", 0)))
+    if pending:
+        # no recovery artifact at all — unreachable under the
+        # journal-after-write invariant, kept as a defensive fallback:
+        # clear the entry, drop any half-written tmp dirs, and reconcile
+        # lineage against the shard dirs actually on disk so no
+        # status-ok row outlives its directory (ADVICE r2)
+        manifest.pop("stream_dedup_pending", None)
+        _reconcile_stream_lineage(part_dir, manifest)
+        _save_manifest(out_dir, manifest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(ds_tmp, ignore_errors=True)
+    return 0
+
+
+def _recover_compact_pending(out_dir: str) -> None:
+    """Crash recovery for the compaction journaled swap, with the same
+    single-writer guard as _recover_dedup_pending: the compact tmp dirs
+    are whole-table snapshots, so promoting them would silently destroy
+    any shard (and its doc stats) ingested after the crash. Journals
+    written before the guard existed carry no shard list and recover
+    unguarded (their windows predate the guard's entry points)."""
+    manifest = load_manifest(out_dir)
+    pending = manifest.get("compact_pending")
+    if not pending:
+        return
+    listed = pending.get("shards")
+    part_dir = os.path.join(out_dir, "partials")
+    if listed is not None and os.path.isdir(part_dir):
+        on_disk = {s for s in os.listdir(part_dir)
+                   if s.startswith("shard=")}
+        extra = sorted(on_disk - set(listed))
+        if extra:
+            raise RuntimeError(
+                f"compaction crash recovery in {out_dir}: shards "
+                f"{extra} were written AFTER the interrupted compaction "
+                f"snapshotted the partials — promoting the snapshot "
+                f"would destroy them. This index has a concurrent or "
+                f"out-of-band writer; move the extra shard dirs aside, "
+                f"finish recovery, then re-ingest them.")
+    _finish_compact_swap(out_dir)
+
+
+def recover_pending(out_dir: str) -> int:
+    """Finish any journaled swap a crashed dedup/compaction left
+    standing. EVERY mutating entry point (stream ingest, merge,
+    compaction, dedup) calls this first, which is what makes the three
+    swap protocols compose: recovery always replays onto exactly the
+    state its journal describes, never onto state another writer
+    changed in between (the guards above fail loudly if one did).
+    Filesystem + manifest only — no SparkSession needed. Returns the
+    recovered dedup removed-count (0 when nothing was pending)."""
+    _recover_compact_pending(out_dir)
+    return _recover_dedup_pending(out_dir)
 
 
 def dedup_stream_partials(spark: SparkSession, out_dir: str,
@@ -414,8 +521,9 @@ def dedup_stream_partials(spark: SparkSession, out_dir: str,
     Mechanics: decode every stream partial to long posting rows tagged
     with their micro-batch id, keep max_by(batch) per (tid, doc),
     anti-join docs already in the batch doc_stats, re-encode into ONE
-    consolidated `shard=streamdedup` partial, and rewrite
-    doc_stats_stream to match. All dedup joins are distributed
+    consolidated `shard=streamdedup` partial (grouped by (tid,
+    doc-hash salt) so a hot term's backlog spreads across tasks), and
+    rewrite doc_stats_stream to match. All dedup joins are distributed
     (semi/anti joins + one grouped re-encode) — no driver-side sets, no
     broadcasts, so the pass survives arbitrarily large stream backlogs.
     Returns the number of posting rows removed (0 = nothing to do).
@@ -425,44 +533,7 @@ def dedup_stream_partials(spark: SparkSession, out_dir: str,
     ds_tmp = os.path.join(out_dir, "_doc_stats_stream_tmp")
     final = os.path.join(part_dir, "shard=streamdedup")
 
-    # crash recovery (journaled swap): a pending entry in the manifest
-    # means the consolidated output was fully written but the
-    # rmtree+rename swap may have been interrupted anywhere — finish it
-    # before looking at what remains on disk. The journal is only
-    # written AFTER both tmp and ds_tmp completed, so with a pending
-    # entry at least one recovery artifact exists: tmp itself, ds_tmp
-    # (doc-stats half not yet promoted), or the renamed final (crash
-    # after the tmp->final rename but before the journal was cleared).
-    manifest = load_manifest(out_dir)
-    pending = manifest.get("stream_dedup_pending")
-    recoverable = pending and (
-        os.path.exists(os.path.join(tmp, "_SUCCESS"))
-        or os.path.exists(os.path.join(ds_tmp, "_SUCCESS"))
-        or os.path.exists(os.path.join(final, "_SUCCESS"))
-    )
-    # a finished crash recovery must still report what the interrupted
-    # dedup removed — returning 0 after recovering a removal would let
-    # the caller's pure-append guard take the incremental merge and
-    # keep ghost rows for terms the recovered consolidation erased.
-    # max(1, ...) keeps the guard conservative even for a recovered
-    # entry that recorded 0.
-    recovered_removed = (max(1, int(pending.get("removed", 0)))
-                         if recoverable else 0)
-    if recoverable:
-        _finish_dedup_swap(out_dir, part_dir, tmp, ds_tmp, final,
-                           pending["shards"], pending["n_postings"],
-                           pending["removed"])
-    elif pending:
-        # no recovery artifact at all — unreachable under the
-        # journal-after-write invariant, kept as a defensive fallback:
-        # clear the entry, drop any half-written tmp dirs, and reconcile
-        # lineage against the shard dirs actually on disk so no
-        # status-ok row outlives its directory (ADVICE r2)
-        manifest.pop("stream_dedup_pending", None)
-        _reconcile_stream_lineage(part_dir, manifest)
-        _save_manifest(out_dir, manifest)
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(ds_tmp, ignore_errors=True)
+    recovered_removed = _recover_dedup_pending(out_dir)
 
     stream_shards = (
         [s for s in os.listdir(part_dir) if s.startswith("shard=stream")]
@@ -519,9 +590,25 @@ def dedup_stream_partials(spark: SparkSession, out_dir: str,
     )
     if batch_ids is not None:
         kept = kept.join(batch_ids, "doc_id", "left_anti")
-    n_before = dec.count()
-    enc = kept.groupBy("tid").applyInPandas(
-        _reencode_tid_group_fn(avgdl), STREAM_ENC_SCHEMA)
+    # posting rows before dedup: the partials already store each row's
+    # count in n_docs — a columnar agg, not a second full decode pass
+    n_before = int(
+        spark.read.option("basePath", part_dir).parquet(part_dir)
+        .where(F.col("shard").cast("string").startswith("stream"))
+        .agg(F.sum("n_docs")).collect()[0][0] or 0
+    )
+    # salt the re-encode groups by doc hash: a hot term's entire stream
+    # backlog must never materialize in ONE applyInPandas task (the
+    # same single-task hotspot the merge phase's salting exists to
+    # prevent). Multiple encoded rows per tid are the partials' normal
+    # shape — the merge decodes and regroups them anyway.
+    n_groups = 8
+    enc = (
+        kept.withColumn(
+            "_grp", F.pmod(F.xxhash64("doc_id"), F.lit(n_groups)))
+        .groupBy("tid", "_grp")
+        .applyInPandas(_reencode_tid_group_fn(avgdl), STREAM_ENC_SCHEMA)
+    )
     enc.write.mode("overwrite").parquet(tmp)
     n_after = int(
         spark.read.schema(STREAM_ENC_SCHEMA).parquet(tmp)
@@ -594,6 +681,17 @@ def _finish_dedup_swap(out_dir: str, part_dir: str, tmp: str, ds_tmp: str,
         "n_postings": n_postings,
         "dedup_removed": removed,
     }
+    if removed > 0:
+        # durable ghost guard: a removal may have ERASED a term from
+        # the stream partials; until a FULL merge re-baselines, the
+        # incremental path must not run (its touched-tid set cannot see
+        # an absence). The in-call return value covers the normal flow;
+        # this flag covers every crash/recovery interleaving — a dedup
+        # recovered by another entry point (ingest, compaction), or a
+        # merge that crashed after this swap completed — where the
+        # count would otherwise be lost before the next merge reads it.
+        manifest["dedup_removed_unmerged"] = int(
+            manifest.get("dedup_removed_unmerged", 0)) + int(removed)
     manifest.pop("stream_dedup_pending", None)
     _reconcile_stream_lineage(part_dir, manifest)
     _save_manifest(out_dir, manifest)
@@ -847,6 +945,11 @@ def _dedup_doc_stats(spark: SparkSession, out_dir: str) -> DataFrame:
                          F.lit(-1).cast("long"))
         parts.append(d.select("doc_id", "dl", "content_sha",
                               F.lit(0).alias("_pri"), bid.alias("_bid")))
+    if not parts:
+        raise FileNotFoundError(
+            f"no index at {out_dir}: neither doc_stats nor "
+            f"doc_stats_stream exists (wrong path, or the build died "
+            f"before init_stats)")
     u = parts[0]
     for p in parts[1:]:
         u = u.unionAll(p)
@@ -1043,6 +1146,13 @@ def merge_partials(
     bucketed by tid so that scan prunes too."""
     import math
 
+    # finish any journaled swap FIRST: refresh_stats below reads
+    # doc_stats_stream, which a crashed dedup/compaction may have left
+    # mid-swap (even rmtree'd). The recovery's removed-count accounting
+    # survives through the durable dedup_removed_unmerged flag, so the
+    # pure-append guard stays correct even though dedup_stream_partials
+    # later finds nothing pending.
+    recover_pending(out_dir)
     manifest = load_manifest(out_dir)
     if os.path.exists(os.path.join(out_dir, "doc_stats_stream")):
         manifest = refresh_stats(spark, out_dir, manifest)
@@ -1072,16 +1182,21 @@ def merge_partials(
                   + [StructField("salt", IntegerType(), False),
                      StructField("df", LongType(), False),
                      StructField("pb", IntegerType(), False)])
+        ver = int(manifest.get("postings_version", 0)) + 1
+        new_name = f"postings_v{ver}"
         spark.createDataFrame([], StructType(fields)).select(
             "term", "tid", "salt", "df", "n_docs", "doc_bytes", "tf_bytes",
             "dl_bytes", "block_last", "block_max", "doc_off", "tf_off",
             "dl_off", "pb",
-        ).write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, new_name))
         manifest["merged"] = True
-        manifest["postings_dir"] = "postings"
+        manifest["postings_dir"] = new_name
+        manifest["postings_version"] = ver
         manifest["encode_avgdl"] = avgdl
         manifest["pb_mod"] = pb_mod
         manifest["merged_batch_shards"] = _batch_shard_keys(manifest)
+        manifest["merged_stream_shards"] = []
+        manifest.pop("dedup_removed_unmerged", None)
         manifest["merge_wall_ms"] = int((time.time() - t0) * 1000)
         _save_manifest(out_dir, manifest)
         _clean_stale_postings(out_dir, manifest)
@@ -1089,6 +1204,14 @@ def merge_partials(
 
     stream_shards = [s for s in os.listdir(part_root)
                      if s.startswith("shard=stream")]
+    # retire already-merged stream shards from the touched set: the
+    # manifest records which stream shards the CURRENT postings version
+    # reflects, so each incremental merge's data movement tracks the
+    # NEW micro-batches, not every term ever streamed (without this the
+    # touched set grows monotonically and the economic guard eventually
+    # forces full merges forever)
+    merged_prev = set(manifest.get("merged_stream_shards") or [])
+    new_stream = [s for s in stream_shards if s not in merged_prev]
     drift_ok = (
         enc_prev and enc_prev > 0 and avgdl > 0
         and abs(math.log(avgdl / enc_prev)) <= math.log1p(max_bound_drift)
@@ -1103,7 +1226,11 @@ def merge_partials(
         # term from the stream partials entirely (content re-drop), and
         # the touched-tid set can't see an absence — the standing row
         # would survive as a ghost. Re-baseline with a full merge then.
+        # dedup_removed covers this call's dedup; the durable manifest
+        # flag covers a removal whose merge never completed (recovered
+        # by another entry point, or a crash after the dedup swap)
         and dedup_removed == 0
+        and not manifest.get("dedup_removed_unmerged")
         # bucket-level partial rewrite needs the bucketed layout (and
         # the same fan-out); a pre-bucketing index re-baselines fully
         and manifest.get("pb_mod") == pb_mod
@@ -1113,10 +1240,14 @@ def merge_partials(
     if go_incremental:
         # the touched-tid set is built (and cached) ONCE and shared by
         # the economic guard's count and the incremental merge itself —
-        # partials are scanned once for it, not once per consumer
+        # partials are scanned once for it, not once per consumer.
+        # Only NEW stream shards contribute (retirement above); each
+        # touched tid is still re-merged from ALL its partials, so df
+        # and salting match a full merge.
         touched_df = (
             spark.read.option("basePath", part_root).parquet(part_root)
-            .where(F.col("shard").cast("string").startswith("stream"))
+            .where(F.col("shard").cast("string").isin(
+                [s.split("=", 1)[1] for s in new_stream]))
             .select("tid").distinct().cache()
         )
     if go_incremental and incremental == "auto":
@@ -1136,6 +1267,7 @@ def merge_partials(
         manifest = _incremental_merge(
             spark, out_dir, manifest, float(enc_prev),
             hot_df_threshold, n_salts, pb_mod, touched_df)
+        manifest["merged_stream_shards"] = sorted(stream_shards)
         manifest["merge_wall_ms"] = int((time.time() - t0) * 1000)
         manifest["last_merge"] = "incremental"
         _save_manifest(out_dir, manifest)
@@ -1144,19 +1276,34 @@ def merge_partials(
     out = merge_plan(spark, out_dir, avgdl, hot_df_threshold, n_salts)
     # repartition by bucket so each pb is one task -> one file per
     # bucket dir, term-sorted within it (row-group min/max stats serve
-    # the term IN pushdown inside the surviving partitions)
+    # the term IN pushdown inside the surviving partitions). Versioned
+    # dir + manifest pointer flip, like the incremental path: a plain
+    # overwrite of the live table is delete-then-write, so a crash
+    # mid-merge would leave the pointer aimed at a half-written dir and
+    # every reader failing until a rebuild — here the standing version
+    # serves until the flip, and a crash leaves only a garbage dir that
+    # _clean_stale_postings sweeps
+    ver = int(manifest.get("postings_version", 0)) + 1
+    new_name = f"postings_v{ver}"
+    new_dir = os.path.join(out_dir, new_name)
+    shutil.rmtree(new_dir, ignore_errors=True)
     (
         out.withColumn("pb", _pb_col(pb_mod))
         .repartition("pb")
         .sortWithinPartitions("pb", "term")
         .write.mode("overwrite").partitionBy("pb")
-        .parquet(os.path.join(out_dir, "postings"))
+        .parquet(new_dir)
     )
     manifest["merged"] = True
-    manifest["postings_dir"] = "postings"
+    manifest["postings_dir"] = new_name
+    manifest["postings_version"] = ver
     manifest["encode_avgdl"] = avgdl
     manifest["pb_mod"] = pb_mod
     manifest["merged_batch_shards"] = _batch_shard_keys(manifest)
+    manifest["merged_stream_shards"] = sorted(stream_shards)
+    # a full merge re-baselines: every erased term is re-derived from
+    # the partials, so the durable ghost guard clears
+    manifest.pop("dedup_removed_unmerged", None)
     manifest["last_merge"] = "full"
     manifest["merge_wall_ms"] = int((time.time() - t0) * 1000)
     _save_manifest(out_dir, manifest)
@@ -1284,9 +1431,14 @@ def verify_index(spark: SparkSession, out_dir: str, docs: DataFrame,
     source docs absent from doc_stats — note a doc deleted AND
     compacted away is indistinguishable from a lost doc unless the
     caller filters deleted ids from `docs` first."""
+    # existence is tracked with explicit markers, NOT sha nullness: a
+    # doc with NULL text indexes fine (dl=0) but sha2(NULL) is NULL on
+    # both sides — using the sha as the row-existence proxy would count
+    # such a doc missing from BOTH tables and fail a healthy audit
     idx = _dedup_doc_stats(spark, out_dir).select(
         "doc_id", F.col("dl").alias("_idx_dl"),
-        F.col("content_sha").alias("_idx_sha"))
+        F.col("content_sha").alias("_idx_sha"),
+        F.lit(True).alias("_in_idx"))
     if recount_dl:
         from engine.analysis import with_tokens
 
@@ -1294,11 +1446,13 @@ def verify_index(spark: SparkSession, out_dir: str, docs: DataFrame,
             F.col(id_col).cast("long").alias("doc_id"),
             F.sha2(F.col(text_col).cast("string"), 256).alias("_src_sha"),
             F.size("tokens").cast("long").alias("_src_dl"),
+            F.lit(True).alias("_in_src"),
         )
     else:
         src = docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
             F.sha2(F.col(text_col).cast("string"), 256).alias("_src_sha"),
+            F.lit(True).alias("_in_src"),
         )
     tomb = read_tombstones(spark, out_dir)
     j = idx.join(src, "doc_id", "full_outer")
@@ -1309,17 +1463,18 @@ def verify_index(spark: SparkSession, out_dir: str, docs: DataFrame,
             "doc_id", "left")
     else:
         j = j.withColumn("_dead", F.lit(None).cast("boolean"))
-    both = F.col("_idx_sha").isNotNull() & F.col("_src_sha").isNotNull()
+    both = F.col("_in_idx").isNotNull() & F.col("_in_src").isNotNull()
+    # eqNullSafe: two NULL shas (a NULL-text doc, present on both
+    # sides) MATCH; one-sided NULL is a real mismatch
+    sha_eq = F.col("_idx_sha").eqNullSafe(F.col("_src_sha"))
     cnt = [
-        F.sum(F.when(F.col("_idx_sha").isNotNull(), 1).otherwise(0)),
-        F.sum(F.when(F.col("_src_sha").isNotNull(), 1).otherwise(0)),
-        F.sum(F.when(both & (F.col("_idx_sha") == F.col("_src_sha")), 1)
-              .otherwise(0)),
-        F.sum(F.when(both & (F.col("_idx_sha") != F.col("_src_sha")), 1)
-              .otherwise(0)),
-        F.sum(F.when(F.col("_idx_sha").isNull(), 1).otherwise(0)),
-        F.sum(F.when(F.col("_src_sha").isNull(), 1).otherwise(0)),
-        F.sum(F.when(F.col("_src_sha").isNull()
+        F.sum(F.when(F.col("_in_idx").isNotNull(), 1).otherwise(0)),
+        F.sum(F.when(F.col("_in_src").isNotNull(), 1).otherwise(0)),
+        F.sum(F.when(both & sha_eq, 1).otherwise(0)),
+        F.sum(F.when(both & ~sha_eq, 1).otherwise(0)),
+        F.sum(F.when(F.col("_in_idx").isNull(), 1).otherwise(0)),
+        F.sum(F.when(F.col("_in_src").isNull(), 1).otherwise(0)),
+        F.sum(F.when(F.col("_in_src").isNull()
                      & F.col("_dead").isNotNull(), 1).otherwise(0)),
         F.sum(F.when(F.col("_dead").isNotNull(), 1).otherwise(0)),
     ]
@@ -1505,10 +1660,12 @@ def compact_tombstones(
 
     Returns the post-merge manifest. No-op (returns the manifest
     unchanged) when no tombstones stand."""
+    # finish BOTH pending journals before snapshotting: a standing
+    # dedup journal means the partials are mid-swap — reading them now
+    # would snapshot a state the dedup recovery later renames stale
+    # artifacts over, resurrecting the very docs this call expunges
+    recover_pending(out_dir)
     manifest = load_manifest(out_dir)
-    if manifest.get("compact_pending"):
-        _finish_compact_swap(out_dir)
-        manifest = load_manifest(out_dir)
     tombs = read_tombstones(spark, out_dir)
     if tombs is None:
         return manifest
@@ -1559,7 +1716,15 @@ def compact_tombstones(
     # the entry is durable every crash inside the destructive window is
     # finished by the recovery branch on re-entry
     manifest = load_manifest(out_dir)
-    manifest["compact_pending"] = {"n_tombstones": int(n_tombs)}
+    manifest["compact_pending"] = {
+        "n_tombstones": int(n_tombs),
+        # shard list at snapshot time: recovery fails loudly if an
+        # out-of-band writer added shards the snapshot doesn't hold
+        # (_recover_compact_pending), instead of destroying them
+        "shards": sorted(
+            s for s in os.listdir(part_dir) if s.startswith("shard=")
+        ) if os.path.isdir(part_dir) else [],
+    }
     _save_manifest(out_dir, manifest)
     _finish_compact_swap(out_dir)
 

@@ -58,6 +58,15 @@ def start_incremental_index(
     survive to serving."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # finish any journaled swap a crashed dedup/compaction left
+        # standing BEFORE appending: writing a new shard into a
+        # mid-swap partials dir would hand the pending recovery a state
+        # its snapshot doesn't describe — the replayed snapshot would
+        # silently erase this batch's doc stats (postings.recover_pending
+        # has the full composition argument)
+        from engine.postings import recover_pending
+
+        recover_pending(out_dir)
         # a doc duplicated WITHIN one micro-batch would have its
         # occurrences summed into a single doubled-tf posting by the
         # np.unique encode kernel — a row the merge-time per-(tid, doc)

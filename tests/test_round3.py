@@ -36,9 +36,15 @@ def _stream_and_merge(spark, out, inp, rows, **merge_kw):
     return merge_partials(spark, out, **merge_kw)
 
 
+def _postings_root(out):
+    from engine.postings import _postings_dir, load_manifest
+
+    return _postings_dir(out, load_manifest(out))
+
+
 def _term_rows(spark, out, term):
     return (
-        spark.read.parquet(out + "/postings")
+        spark.read.parquet(_postings_root(out))
         .where(F.col("term") == term)
         .collect()
     )
@@ -207,7 +213,8 @@ def test_stream_redrop_latest_version_wins_whole_doc(spark,
     merge_partials(spark, out, hot_df_threshold=10**9, n_salts=2)
 
     terms = {r.term for r in
-             spark.read.parquet(out + "/postings").select("term").collect()}
+             spark.read.parquet(_postings_root(out))
+             .select("term").collect()}
     assert "cherry" in terms and "banana" not in terms
     apple = _term_rows(spark, out, "apple")
     assert _decoded_doc_ids(apple) == [7] and apple[0].df == 1

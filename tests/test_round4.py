@@ -163,7 +163,8 @@ def test_within_batch_duplicate_doc_tf_not_doubled(spark,
     into one doubled-tf posting that no later dedup could repair."""
     from engine.codec import decode_blocked
     from engine.postings import (
-        build_index, merge_partials, read_index,
+        _postings_dir, build_index, load_manifest, merge_partials,
+        read_index,
     )
     from engine.streaming import start_incremental_index
 
@@ -182,7 +183,7 @@ def test_within_batch_duplicate_doc_tf_not_doubled(spark,
     q.awaitTermination(120)
     merge_partials(spark, out, hot_df_threshold=10**9, n_salts=2)
 
-    rows = (spark.read.parquet(out + "/postings")
+    rows = (spark.read.parquet(_postings_dir(out, load_manifest(out)))
             .where(F.col("term") == "apple").collect())
     assert len(rows) == 1
     d, t, dl = decode_blocked(rows[0].doc_bytes, rows[0].tf_bytes,
@@ -348,7 +349,9 @@ def test_incremental_merge_rank_identical_to_full(spark, tmp_path_factory):
     m_inc = load_manifest(outs[True])
     m_full = load_manifest(outs[False])
     assert m_inc["last_merge"] == "incremental"
-    assert m_inc["postings_dir"] == "postings_v1"
+    # the full merge is versioned too (round-7 pointer flip), so the
+    # incremental version is simply one past the build's
+    assert m_inc["postings_dir"].startswith("postings_v")
     assert m_full["last_merge"] == "full"
     # incremental keeps the OLD encode baseline; serving avgdl moved up
     assert m_inc["encode_avgdl"] < m_inc["stats"]["avgdl"]
@@ -536,8 +539,9 @@ def test_pb_partition_pruning_and_hardlinked_buckets(spark,
 
     # (3) incremental merge: untouched bucket files carried over
     # verbatim (hardlinks), touched buckets rewritten
-    old_files = {os.path.relpath(p, out + "/postings")
-                 for p in glob.glob(out + "/postings/pb=*/*.parquet")}
+    old_root = out + "/" + load_manifest(out)["postings_dir"]
+    old_files = {os.path.relpath(p, old_root)
+                 for p in glob.glob(old_root + "/pb=*/*.parquet")}
     _mk_stream_drop(spark, inp,
                     [(900, "newa newb newc", "en", "s", 20),
                      (901, "newa newb newd", "en", "s", 20)])
@@ -583,6 +587,10 @@ def test_read_index_pre_pointer_manifest_compat(spark, tmp_path):
                 n_salts=2, id_col="doc_id", text_col="text")
     mp = out + "/_manifest.json"
     m = json.load(open(mp))
+    # pre-pointer layouts stored the table at the literal 'postings'
+    # dir (the round-7 full merge writes versioned dirs, so emulate
+    # the old on-disk shape too)
+    os.rename(out + "/" + m["postings_dir"], out + "/postings")
     for k in ("postings_dir", "encode_avgdl", "merged_batch_shards",
               "last_merge", "postings_version"):
         m.pop(k, None)
