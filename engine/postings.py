@@ -1002,11 +1002,18 @@ def merge_plan(
     if only_tids is not None:
         partials = partials.join(only_tids, "tid", "left_semi")
     dfs = partials.groupBy("tid").agg(F.sum("n_docs").alias("df"))
+    # hot-term split salt: hash (shard, payload) so EVERY distinct
+    # partial row of a hot term can land in its own merge group —
+    # hashing the shard alone collapsed all of a consolidated
+    # shard=streamdedup backlog (which holds several salted rows per
+    # hot tid precisely to avoid single-task materialization) back
+    # into ONE group
     with_df = partials.join(dfs, "tid").withColumn(
         "msalt",
         F.when(
             F.col("df") > hot_df_threshold,
-            F.pmod(F.xxhash64(F.col("shard").cast("string")),
+            F.pmod(F.xxhash64(F.col("shard").cast("string"),
+                              F.col("doc_bytes")),
                    F.lit(n_salts)).cast("int"),
         ).otherwise(F.lit(0)),
     )

@@ -301,3 +301,47 @@ def test_dedup_doc_stats_missing_index_clear_error(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="no index at"):
         _dedup_doc_stats(spark, str(tmp_path / "nope"))
+
+
+def test_hot_consolidated_term_spreads_across_merge_groups(
+        spark, tmp_path_factory):
+    """Review finding 4 (merge half): the hot-term merge salt hashed
+    only the SHARD name, so a consolidated shard=streamdedup backlog —
+    written as several salted rows per hot tid precisely to avoid
+    single-task materialization — collapsed back into ONE merge group.
+    Salting by (shard, payload) keeps each consolidated row eligible
+    for its own group: the merged table holds >1 row for the hot term,
+    and serving over the salted rows stays correct."""
+    from engine.csearch import search_index
+    from engine.postings import (
+        _postings_dir, build_index, load_manifest, merge_partials,
+        read_index,
+    )
+    from engine.streaming import start_incremental_index
+
+    out = str(tmp_path_factory.mktemp("hotc_idx"))
+    inp = str(tmp_path_factory.mktemp("hotc_in"))
+    build_index(spark, spark.createDataFrame(
+        [(0, "anchor seed", "en", "s", 11)], DOC_SCHEMA), out,
+        n_shards=2, hot_df_threshold=10**9, n_salts=4,
+        id_col="doc_id", text_col="text")
+    # 40 stream docs all containing 'hot', plus a re-drop of doc 0 so
+    # the dedup actually consolidates into shard=streamdedup
+    rows = [(0, "anchor seed", "en", "s", 11)] + [
+        (100 + i, f"hot filler{i % 7}", "en", "s", 12) for i in range(40)]
+    spark.createDataFrame(rows, DOC_SCHEMA).write.mode(
+        "overwrite").parquet(inp + "/drop")
+    q = start_incremental_index(spark, inp + "/drop", out, avgdl_hint=2.0)
+    q.awaitTermination(120)
+    # hot_df_threshold below df(hot)=40 makes 'hot' a salted hot term
+    merge_partials(spark, out, hot_df_threshold=10, n_salts=4)
+    m = load_manifest(out)
+    assert m["shards"].get("streamdedup", {}).get("status") == "ok"
+    hot_rows = (spark.read.parquet(_postings_dir(out, m))
+                .where(F.col("term") == "hot").collect())
+    assert len(hot_rows) > 1, "consolidated hot term merged in one group"
+    idx = read_index(spark, out)
+    qs = spark.createDataFrame([("q0", "hot")],
+                               "query_id string, query string")
+    res = search_index(spark, idx, qs, k=50).collect()
+    assert {r.doc_id for r in res} == {100 + i for i in range(40)}
