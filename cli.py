@@ -51,9 +51,7 @@ def _add_corpus_args(p: argparse.ArgumentParser) -> None:
 
 def _load_corpus(spark, args):
     """-> (docs, id_col, text_col)"""
-    from pyspark.sql import functions as F  # noqa: F401
-
-    if args.gen:
+    if args.gen is not None:  # truthiness would silently drop --gen 0
         from engine.corpusgen import synth_corpus
 
         return synth_corpus(spark, args.gen), "doc_id", "content"
@@ -64,9 +62,12 @@ def _load_corpus(spark, args):
         if bad:
             raise SystemExit(f"--reader-option must be K=V, got: {bad}")
         opts = dict(kv.split("=", 1) for kv in args.reader_option)
+        # strip so "--langs 'en, fr'" filters fr instead of ' fr'
+        # (which matches nothing and silently drops the language)
+        langs = ([s.strip() for s in args.langs.split(",") if s.strip()]
+                 if args.langs else None)
         docs = read_corpus(
-            spark, args.corpus, options=opts or None,
-            langs=args.langs.split(",") if args.langs else None)
+            spark, args.corpus, options=opts or None, langs=langs)
         return docs, "doc_id", corpus_text_col(docs)
     if args.sf:
         docs = spark.read.parquet(
@@ -90,17 +91,19 @@ def cmd_index(args) -> None:
     """Reference `index` (Main.java:30-38 -> LuceneIndexBuilder)."""
     import time
 
-    from engine.postings import build_index, load_manifest
+    from engine.postings import build_index
 
     spark = _spark("cli-index")
     docs, id_col, text_col = _load_corpus(spark, args)
-    n = docs.count()
     t0 = time.time()
-    build_index(spark, docs, args.out, n_shards=args.shards,
-                hot_df_threshold=args.hot_df, n_salts=args.salts,
-                id_col=id_col, text_col=text_col)
+    # build_index returns the manifest, whose stats already hold
+    # n_docs — a separate docs.count() would be one extra full corpus
+    # scan (and a second generation pass under --gen)
+    m = build_index(spark, docs, args.out, n_shards=args.shards,
+                    hot_df_threshold=args.hot_df, n_salts=args.salts,
+                    id_col=id_col, text_col=text_col)
     wall = time.time() - t0
-    m = load_manifest(args.out)
+    n = int(m["stats"]["n_docs"])
     print(json.dumps({
         "n_docs": n, "wall_sec": round(wall, 3),
         "docs_per_sec": round(n / wall, 1) if wall else None,
@@ -129,10 +132,45 @@ def _promote_single_text(spark, tmp_dir: str, path: str) -> int:
             f"expected exactly one part file in {tmp_dir} (the sink "
             f"coalesces to 1), found {len(parts)}: {parts}")
     if os.path.isdir(path):
+        # only clear a directory that IS a stale Spark text sink (part
+        # files + markers) — rmtree of an arbitrary user directory at a
+        # mistyped --run-out/--out would be silent recursive data loss
+        leftovers = [e for e in os.listdir(path)
+                     if not (e.startswith("part-") or e == "_SUCCESS"
+                             or e.endswith(".crc"))]
+        if leftovers:
+            raise SystemExit(
+                f"refusing to overwrite directory {path}: it contains "
+                f"non-sink entries {leftovers[:5]} — the output path "
+                f"must be a file (or a stale Spark text-sink dir)")
         _sh.rmtree(path)
     os.replace(parts[0], path)
     _sh.rmtree(tmp_dir, ignore_errors=True)
     return n
+
+
+def _write_lines(spark, lines, path: str) -> int:
+    """Single-file text sink shared by the run-file and RankLib
+    training sinks: write the one-column `lines` DF to a tmp dir,
+    promote its single part file to `path` (a real FILE — external
+    consumers take file paths, not Spark output directories)."""
+    tmp = path + ".spark-text"
+    lines.coalesce(1).write.mode("overwrite").text(tmp)
+    return _promote_single_text(spark, tmp, path)
+
+
+def _ranklib_corpus_stats(ds):
+    """(n_docs, avgdl, total_tokens) in ONE aggregation pass; raises a
+    clean CLI error on an empty corpus instead of the TypeError that
+    float(None) would produce downstream (engine.search.search_corpus
+    applies the same guard engine-side)."""
+    from pyspark.sql import functions as F
+
+    row = ds.agg(F.count(F.lit(1)), F.avg("dl"), F.sum("dl")).collect()[0]
+    n_docs, avgdl, total_tokens = int(row[0] or 0), row[1], row[2]
+    if n_docs == 0 or avgdl is None or not total_tokens:
+        raise SystemExit("corpus is empty — nothing to rank")
+    return n_docs, float(avgdl), int(total_tokens)
 
 
 def _write_run(spark, res, path: str, tag: str) -> int:
@@ -171,13 +209,18 @@ def cmd_stats(args) -> None:
     """Reference `stats` (Main.java:133-137 -> KotlinStatsParser)."""
     from engine.postings import load_manifest, read_index
 
+    from pyspark.sql import functions as F
+
     spark = _spark("cli-stats")
     idx = read_index(spark, args.index)
     m = load_manifest(args.index)
+    # one scan for both scalars (countDistinct + count), not two
+    trow = idx["postings"].agg(
+        F.countDistinct("tid"), F.count(F.lit(1))).collect()[0]
     print(json.dumps({
         "n_docs": idx["n_docs"], "avgdl": idx["avgdl"],
-        "n_terms": idx["postings"].select("tid").distinct().count(),
-        "n_posting_rows": idx["postings"].count(),
+        "n_terms": int(trow[0] or 0),
+        "n_posting_rows": int(trow[1] or 0),
         "shards": len(m["shards"]), "merged": m["merged"],
     }))
 
@@ -191,7 +234,10 @@ def cmd_graph_builder(args) -> None:
     docs, id_col, text_col = _load_corpus(spark, args)
     edges = doc_entity_edges(docs, id_col=id_col, text_col=text_col)
     edges.write.mode("overwrite").parquet(args.out)
-    print(json.dumps({"edges": edges.count(), "out": args.out}))
+    # count the WRITTEN parquet — counting the lineage would re-run
+    # the whole tokenize+explode job a second time
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"edges": n, "out": args.out}))
 
 
 def cmd_ranklib_query(args) -> None:
@@ -200,34 +246,43 @@ def cmd_ranklib_query(args) -> None:
     written as a TREC run file."""
     from pyspark.sql import Window, functions as F
 
-    from engine.indexer import collection_stats, doc_stats, postings_long
+    from engine.indexer import doc_stats, postings_long
     from engine.rerank import lm_scores, zscore_norm
     from engine.search import bm25_scores, query_term_freqs
 
     spark = _spark("cli-ranklib-query")
     docs, id_col, text_col = _load_corpus(spark, args)
     qs = _load_queries(spark, args)
-    pl = postings_long(docs, id_col=id_col, text_col=text_col)
-    ds = doc_stats(docs, id_col=id_col, text_col=text_col)
-    n_docs, avgdl = collection_stats(ds).collect()[0]
-    total_tokens = ds.agg(F.sum("dl")).collect()[0][0] or 0
-    qt = query_term_freqs(qs)
-    bm = bm25_scores(qt, pl, ds, n_docs, avgdl).withColumnRenamed(
-        "score", "bm25")
-    jm = lm_scores(qt, pl, ds, total_tokens,
-                   kind="jelinek_mercer").withColumnRenamed("score", "lm_jm")
-    feats = bm.join(jm, ["query_id", "doc_id"], "left").na.fill({"lm_jm": 0.0})
-    feats = zscore_norm(feats, "bm25", out_col="bm25_z")
-    feats = zscore_norm(feats, "lm_jm", out_col="lm_jm_z")
-    feats = feats.withColumn(
-        "score", F.round(F.col("bm25_z") * 0.9703
-                         + F.col("lm_jm_z") * 0.0297, 6))
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
-                                               F.asc("doc_id"))
-    res = (feats.withColumn("rank", F.row_number().over(w))
-           .where(F.col("rank") <= args.k)
-           .select("query_id", "doc_id", "score", "rank"))
-    n = _write_run(spark, res, args.run_out, args.tag)
+    # cache the tokenized lineages: the stats agg, both scorers, and
+    # the sink each trigger a driver action — uncached, every one
+    # re-tokenizes the full corpus (streaming.py persists its batch
+    # lineage for exactly this reason)
+    pl = postings_long(docs, id_col=id_col, text_col=text_col).cache()
+    ds = doc_stats(docs, id_col=id_col, text_col=text_col).cache()
+    try:
+        n_docs, avgdl, total_tokens = _ranklib_corpus_stats(ds)
+        qt = query_term_freqs(qs)
+        bm = bm25_scores(qt, pl, ds, n_docs, avgdl).withColumnRenamed(
+            "score", "bm25")
+        jm = lm_scores(qt, pl, ds, total_tokens,
+                       kind="jelinek_mercer").withColumnRenamed(
+            "score", "lm_jm")
+        feats = (bm.join(jm, ["query_id", "doc_id"], "left")
+                 .na.fill({"lm_jm": 0.0}))
+        feats = zscore_norm(feats, "bm25", out_col="bm25_z")
+        feats = zscore_norm(feats, "lm_jm", out_col="lm_jm_z")
+        feats = feats.withColumn(
+            "score", F.round(F.col("bm25_z") * 0.9703
+                             + F.col("lm_jm_z") * 0.0297, 6))
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                   F.asc("doc_id"))
+        res = (feats.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= args.k)
+               .select("query_id", "doc_id", "score", "rank"))
+        n = _write_run(spark, res, args.run_out, args.tag)
+    finally:
+        pl.unpersist()
+        ds.unpersist()
     print(json.dumps({"run_file": args.run_out, "rows": n}))
 
 
@@ -243,8 +298,7 @@ def cmd_ranklib_trainer(args) -> None:
     from pyspark.sql import functions as F
 
     from engine.parity import qrel_flags, read_qrels, synthetic_qrels
-    from engine.csearch import search_index  # noqa: F401
-    from engine.indexer import collection_stats, doc_stats, postings_long
+    from engine.indexer import doc_stats, postings_long
     from engine.features import entity_query_scores, section_split_scores
     from engine.rerank import lm_scores
     from engine.runfile import ranklib_lines
@@ -253,52 +307,55 @@ def cmd_ranklib_trainer(args) -> None:
     spark = _spark("cli-ranklib-trainer")
     docs, id_col, text_col = _load_corpus(spark, args)
     qs = _load_queries(spark, args)
-    pl = postings_long(docs, id_col=id_col, text_col=text_col)
-    ds = doc_stats(docs, id_col=id_col, text_col=text_col)
-    n_docs, avgdl = collection_stats(ds).collect()[0]
-    total_tokens = ds.agg(F.sum("dl")).collect()[0][0] or 0
-    qt = query_term_freqs(qs)
-    bm = bm25_scores(qt, pl, ds, n_docs, avgdl)
-    cand = topk(bm, k=args.k).select("query_id", "doc_id", "score")
-    jm = lm_scores(qt, pl, ds, total_tokens,
-                   kind="jelinek_mercer").withColumnRenamed("score", "lm_jm")
-    sec = section_split_scores(qs, cand, pl, ds, n_docs, avgdl)
-    ent = entity_query_scores(qs, cand, pl, ds, n_docs, avgdl)
-    feats = (cand.join(jm, ["query_id", "doc_id"], "left")
-             .join(sec, ["query_id", "doc_id"], "left")
-             .join(ent, ["query_id", "doc_id"], "left")
-             .na.fill(0.0))
-    qr = (read_qrels(spark, args.qrels) if args.qrels
-          else synthetic_qrels(docs, qs))
-    flagged = qrel_flags(feats, qr).withColumn(
-        "rel", F.col("is_relevant").cast("int"))
-    fcols = [c for c in feats.columns
-             if c not in ("query_id", "doc_id")]
-    # distributed sink (one ordered part file promoted to a real file,
-    # mirroring _write_run): the training file grows with |queries| x k
-    # — never collect it; the RankLib jar consumes a file path
-    tmp = args.out + ".spark-text"
-    (
-        ranklib_lines(flagged.orderBy("query_id", "doc_id"), fcols,
-                      rel_col="rel")
-        .coalesce(1).write.mode("overwrite").text(tmp)
-    )
-    n = _promote_single_text(spark, tmp, args.out)
-    result = {"training_file": args.out, "features": fcols, "rows": n}
-    if args.train:
-        from engine.ltr import coordinate_ascent
-        from engine.rerank import zscore_norm
+    # cached for the same reason as cmd_ranklib_query — this command
+    # runs even more driver actions (per-feature scorers + training)
+    pl = postings_long(docs, id_col=id_col, text_col=text_col).cache()
+    ds = doc_stats(docs, id_col=id_col, text_col=text_col).cache()
+    try:
+        n_docs, avgdl, total_tokens = _ranklib_corpus_stats(ds)
+        qt = query_term_freqs(qs)
+        bm = bm25_scores(qt, pl, ds, n_docs, avgdl)
+        cand = topk(bm, k=args.k).select("query_id", "doc_id", "score")
+        jm = lm_scores(qt, pl, ds, total_tokens,
+                       kind="jelinek_mercer").withColumnRenamed(
+            "score", "lm_jm")
+        sec = section_split_scores(qs, cand, pl, ds, n_docs, avgdl)
+        ent = entity_query_scores(qs, cand, pl, ds, n_docs, avgdl)
+        feats = (cand.join(jm, ["query_id", "doc_id"], "left")
+                 .join(sec, ["query_id", "doc_id"], "left")
+                 .join(ent, ["query_id", "doc_id"], "left")
+                 .na.fill(0.0))
+        qr = (read_qrels(spark, args.qrels) if args.qrels
+              else synthetic_qrels(docs, qs))
+        flagged = qrel_flags(feats, qr).withColumn(
+            "rel", F.col("is_relevant").cast("int"))
+        fcols = [c for c in feats.columns
+                 if c not in ("query_id", "doc_id")]
+        # distributed sink: the training file grows with |queries| x k
+        # — never collect it; the RankLib jar consumes a file path
+        n = _write_lines(
+            spark,
+            ranklib_lines(flagged.orderBy("query_id", "doc_id"), fcols,
+                          rel_col="rel"),
+            args.out)
+        result = {"training_file": args.out, "features": fcols, "rows": n}
+        if args.train:
+            from engine.ltr import coordinate_ascent
+            from engine.rerank import zscore_norm
 
-        zcols = []
-        ztab = flagged
-        for c in fcols:
-            ztab = zscore_norm(ztab, c, out_col=f"z_{c}")
-            zcols.append(f"z_{c}")
-        weights, train_map = coordinate_ascent(
-            ztab, zcols, label_col="rel", n_rounds=args.train_rounds)
-        result["trained_weights"] = {c: round(w, 6)
-                                     for c, w in zip(fcols, weights)}
-        result["train_map"] = round(train_map, 6)
+            zcols = []
+            ztab = flagged
+            for c in fcols:
+                ztab = zscore_norm(ztab, c, out_col=f"z_{c}")
+                zcols.append(f"z_{c}")
+            weights, train_map = coordinate_ascent(
+                ztab, zcols, label_col="rel", n_rounds=args.train_rounds)
+            result["trained_weights"] = {c: round(w, 6)
+                                         for c, w in zip(fcols, weights)}
+            result["train_map"] = round(train_map, 6)
+    finally:
+        pl.unpersist()
+        ds.unpersist()
     print(json.dumps(result))
 
 

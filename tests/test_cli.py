@@ -171,3 +171,37 @@ def test_cli_verify_audit(spark, tmp_path, capsys):
 def test_cli_linker_out_of_scope(spark):
     with pytest.raises(SystemExit, match="out of scope"):
         cli.cmd_linker(None)
+
+
+def test_promote_refuses_non_sink_directory(spark, tmp_path):
+    """Round-7 CLI review: a mistyped --run-out pointing at an existing
+    directory of unrelated files must be refused, not rmtree'd."""
+    victim = tmp_path / "precious"
+    victim.mkdir()
+    (victim / "notes.txt").write_text("do not delete")
+    tmp_sink = tmp_path / "sink.spark-text"
+    tmp_sink.mkdir()
+    (tmp_sink / "part-00000").write_text("line\n")
+    (tmp_sink / "_SUCCESS").write_text("")
+    with pytest.raises(SystemExit, match="refusing to overwrite"):
+        cli._promote_single_text(spark, str(tmp_sink), str(victim))
+    assert (victim / "notes.txt").exists()  # untouched
+    # a STALE sink dir at the target is still cleared and replaced
+    stale = tmp_path / "stale_out"
+    stale.mkdir()
+    (stale / "part-99").write_text("old\n")
+    (stale / "_SUCCESS").write_text("")
+    n = cli._promote_single_text(spark, str(tmp_sink), str(stale))
+    assert n == 1 and stale.is_file()
+
+
+def test_ranklib_empty_corpus_clean_error(spark, tmp_path, capsys):
+    """Round-7 CLI review: an empty corpus must die with a clean CLI
+    error, not a float(None) TypeError deep in bm25_scores."""
+    empty = str(tmp_path / "empty.parquet")
+    spark.createDataFrame(
+        [], "doc_id long, text string").write.parquet(empty)
+    run = str(tmp_path / "run_out")
+    with pytest.raises(SystemExit, match="corpus is empty"):
+        _run(capsys, "ranklib_query", "--corpus", empty,
+             "--run-out", run)
