@@ -28,9 +28,21 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import B, K1  # ONE source of BM25 constants (engine/__init__);
+# a shadow copy here would let block_max bounds silently diverge from
+# the JVM scoring path (search.tf_part_expr) if anyone retuned them
+
 BLOCK_SIZE = 128
-K1 = 1.2
-B = 0.75
+
+#: per-list byte ceiling: every Spark/Arrow schema carries the block
+#: byte offsets as int32, and Arrow/Parquet binary cells cap near 2 GiB
+#: anyway — a single encoded chunk must stay far below that. The BUILD
+#: is what enforces the bound structurally (hot terms split across
+#: n_shards x n_salts chunks; the merge salts by (shard, payload));
+#: this check turns a violation into a loud error instead of silent
+#: int32 truncation in the pandas encode path / an OverflowError
+#: mid-build in the arrow one.
+MAX_LIST_BYTES = (1 << 31) - 1
 
 
 def varbyte_encode(values: np.ndarray) -> bytes:
@@ -54,12 +66,22 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
-def varbyte_decode(buf) -> np.ndarray:
-    """Vectorized varbyte decode -> uint64 array."""
+def _varbyte_decode_starts(buf) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized varbyte decode -> (uint64 values, int64 byte start
+    position of each value). Raises ValueError on a corrupt buffer (no
+    terminator at all, or a truncated trailing value) instead of an
+    opaque IndexError / a silently dropped value downstream."""
     b = np.frombuffer(bytes(buf), dtype=np.uint8)
     if b.size == 0:
-        return np.empty(0, dtype=np.uint64)
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64))
     ends = np.flatnonzero((b & 0x80) == 0)
+    if ends.size == 0 or ends[-1] != b.size - 1:
+        # all-continuation bytes, or bytes after the last terminator:
+        # a partial write or bit flip — fail at the codec boundary
+        raise ValueError(
+            f"corrupt varbyte buffer: {b.size} bytes, "
+            f"{ends.size} terminators, last terminator at "
+            f"{int(ends[-1]) if ends.size else -1}")
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
@@ -69,7 +91,12 @@ def varbyte_decode(buf) -> np.ndarray:
         mask = width > k
         pos = starts[mask] + k
         vals[mask] |= (b[pos].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * k)
-    return vals
+    return vals, starts
+
+
+def varbyte_decode(buf) -> np.ndarray:
+    """Vectorized varbyte decode -> uint64 array."""
+    return _varbyte_decode_starts(buf)[0]
 
 
 def tf_part(tf: np.ndarray, dl: np.ndarray, avgdl: float,
@@ -90,13 +117,25 @@ def encode_blocked(
     """Sort by doc_id and encode into independent blocks.
 
     Returns dict with doc_bytes/tf_bytes/dl_bytes (bytes), block_last
-    (list[int]), block_max (list[float]), doc_off/tf_off/dl_off
-    (list[int] byte start offsets per block).
+    (list[int]: each block's last doc_id — skip data in the Lucene
+    sense, reserved for a docID-ordered intersection/seek path; the
+    current term-at-a-time serving plan prunes on block_max and never
+    reads it, at a cost of one int64 per 128 postings), block_max
+    (list[float]), doc_off/tf_off/dl_off (list[int] byte start offsets
+    per block).
     """
-    order = np.argsort(doc_ids, kind="stable")
-    d = np.asarray(doc_ids, dtype=np.uint64)[order]
-    t = np.asarray(tfs, dtype=np.uint64)[order]
-    dl = np.asarray(dls, dtype=np.uint64)[order]
+    d = np.asarray(doc_ids, dtype=np.uint64)
+    # the dominant build kernels feed np.unique output (already
+    # ascending) — skip the argsort + three gather copies for them;
+    # the O(n) monotonicity check is far cheaper than the sort
+    if d.size > 1 and not bool(np.all(d[1:] >= d[:-1])):
+        order = np.argsort(doc_ids, kind="stable")
+        d = d[order]
+        t = np.asarray(tfs, dtype=np.uint64)[order]
+        dl = np.asarray(dls, dtype=np.uint64)[order]
+    else:
+        t = np.asarray(tfs, dtype=np.uint64)
+        dl = np.asarray(dls, dtype=np.uint64)
     part = tf_part(t, dl, avgdl) if avgdl > 0 else np.zeros(d.size)
 
     n_blocks = (d.size + block_size - 1) // block_size
@@ -118,6 +157,12 @@ def encode_blocked(
         doc_chunks.append(db); tf_chunks.append(tb); dl_chunks.append(lb)
         block_last.append(int(seg[-1]))
         block_max.append(float(part[lo:hi].max()) if hi > lo else 0.0)
+    if max(dpos, tpos, lpos) > MAX_LIST_BYTES:
+        raise ValueError(
+            f"encoded posting list exceeds the int32 offset ceiling "
+            f"({max(dpos, tpos, lpos)} bytes > {MAX_LIST_BYTES}): the "
+            f"build must split this term across more shards/salts "
+            f"(hot_df_threshold / n_salts) before encoding")
     return {
         "doc_bytes": b"".join(doc_chunks),
         "tf_bytes": b"".join(tf_chunks),
@@ -134,10 +179,44 @@ def decode_blocked(
     doc_bytes, tf_bytes, dl_bytes, doc_off, tf_off, dl_off, keep=None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a blocked posting list; ``keep`` (iterable of block
-    indices) decodes only those blocks — pruned blocks cost zero work."""
+    indices — a SET: duplicates collapse, out-of-range raises) decodes
+    only those blocks — pruned blocks cost zero work.
+
+    The full decode (keep=None) — the merge / compaction / unpruned
+    serving path — runs ONE varbyte pass per stream and fixes the
+    per-block delta restarts vectorized (subtract each block's
+    preceding running total), instead of a 3-calls-per-block Python
+    loop whose per-call overhead dominated at 128-value blocks."""
     doc_bytes, tf_bytes, dl_bytes = bytes(doc_bytes), bytes(tf_bytes), bytes(dl_bytes)
     n_blocks = len(doc_off)
-    idxs = range(n_blocks) if keep is None else sorted(int(i) for i in keep)
+    if keep is None:
+        if n_blocks == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        gaps, vstarts = _varbyte_decode_starts(doc_bytes)
+        t = varbyte_decode(tf_bytes)
+        lv = varbyte_decode(dl_bytes)
+        if not (gaps.size == t.size == lv.size):
+            raise ValueError(
+                f"corrupt posting payload: stream lengths differ "
+                f"(doc {gaps.size}, tf {t.size}, dl {lv.size})")
+        # value index where each block starts: its first value's byte
+        # position is exactly the stored block offset
+        vs = np.searchsorted(vstarts, np.asarray(doc_off, dtype=np.int64))
+        c = np.cumsum(gaps, dtype=np.uint64)
+        # per-block base = running total just before the block (its
+        # first gap is ABSOLUTE, so subtracting the base restores the
+        # in-block cumsum for every block at once)
+        base = np.where(vs > 0, c[np.maximum(vs - 1, 0)], np.uint64(0))
+        counts = np.diff(np.append(vs, gaps.size))
+        d = c - np.repeat(base, counts)
+        return (d.astype(np.int64), t.astype(np.int64),
+                lv.astype(np.int64))
+    idxs = sorted({int(i) for i in keep})
+    if idxs and (idxs[0] < 0 or idxs[-1] >= n_blocks):
+        raise ValueError(
+            f"keep block indices out of range [0, {n_blocks}): "
+            f"{[i for i in idxs if i < 0 or i >= n_blocks][:5]}")
     d_parts, t_parts, l_parts = [], [], []
     for i in idxs:
         d_end = doc_off[i + 1] if i + 1 < n_blocks else len(doc_bytes)

@@ -345,3 +345,76 @@ def test_hot_consolidated_term_spreads_across_merge_groups(
                                "query_id string, query string")
     res = search_index(spark, idx, qs, k=50).collect()
     assert {r.doc_id for r in res} == {100 + i for i in range(40)}
+
+
+def test_codec_corrupt_buffer_and_keep_validation():
+    """Round-7 codec review: corrupt varbyte buffers (terminator-less
+    or truncated) must raise at the codec boundary, mismatched stream
+    lengths must not silently mis-broadcast downstream, and keep
+    indices are validated (range-checked, duplicates collapse)."""
+    import numpy as np
+
+    from engine.codec import decode_blocked, encode_blocked, varbyte_decode
+
+    with pytest.raises(ValueError, match="corrupt varbyte"):
+        varbyte_decode(b"\x80\x80\x80")  # all continuation bytes
+    with pytest.raises(ValueError, match="corrupt varbyte"):
+        varbyte_decode(b"\x01\x80")  # truncated trailing value
+
+    d = np.arange(1, 300, dtype=np.int64)
+    t = np.ones(299, dtype=np.int64)
+    enc = encode_blocked(d, t, t, avgdl=10.0)
+    args = (enc["doc_bytes"], enc["tf_bytes"], enc["dl_bytes"],
+            enc["doc_off"], enc["tf_off"], enc["dl_off"])
+    # truncated tf stream -> stream-length mismatch on full decode
+    with pytest.raises(ValueError):
+        decode_blocked(enc["doc_bytes"], enc["tf_bytes"][:-1],
+                       enc["dl_bytes"], enc["doc_off"], enc["tf_off"],
+                       enc["dl_off"])
+    with pytest.raises(ValueError, match="out of range"):
+        decode_blocked(*args, keep=[-1])
+    with pytest.raises(ValueError, match="out of range"):
+        decode_blocked(*args, keep=[len(enc["doc_off"])])
+    # duplicates collapse instead of double-decoding the block
+    d1, _, _ = decode_blocked(*args, keep=[0, 0])
+    assert np.array_equal(d1, d[:128])
+
+
+def test_codec_full_decode_fast_path_roundtrip():
+    """The vectorized keep=None fast path must equal the per-block
+    keep path bit-for-bit, including multi-block delta restarts and
+    unsorted encode input (which exercises the presorted check's
+    fallback)."""
+    import numpy as np
+
+    from engine.codec import decode_blocked, encode_blocked
+
+    rng = np.random.default_rng(11)
+    d = rng.choice(10**9, size=5000, replace=False)  # UNSORTED input
+    t = rng.integers(1, 40, size=5000)
+    dl = rng.integers(1, 400, size=5000)
+    enc = encode_blocked(d, t, dl, avgdl=150.0)
+    args = (enc["doc_bytes"], enc["tf_bytes"], enc["dl_bytes"],
+            enc["doc_off"], enc["tf_off"], enc["dl_off"])
+    full = decode_blocked(*args)
+    loop = decode_blocked(*args, keep=range(len(enc["doc_off"])))
+    for a, b in zip(full, loop):
+        assert np.array_equal(a, b)
+    order = np.argsort(d)
+    assert np.array_equal(full[0], d[order])
+    assert np.array_equal(full[1], t[order])
+
+
+def test_codec_offset_ceiling_guard(monkeypatch):
+    """A chunk whose encoded stream would pass the int32 offset
+    ceiling must fail loudly at encode time (the build's shard/salt
+    split keeps real chunks far below it)."""
+    import numpy as np
+
+    import engine.codec as codec
+
+    monkeypatch.setattr(codec, "MAX_LIST_BYTES", 64)
+    d = np.arange(1, 200, dtype=np.int64)
+    t = np.ones(199, dtype=np.int64)
+    with pytest.raises(ValueError, match="offset ceiling"):
+        codec.encode_blocked(d, t, t, avgdl=10.0)
