@@ -494,21 +494,19 @@ DECODED_PARTIAL_SCHEMA = StructType(
 
 def _decode_partials_fn(batches):
     """mapInPandas: encoded partial rows (+ a `bid` precedence column)
-    -> long (tid, doc_id, tf, dl, bid) posting rows."""
+    -> long (tid, doc_id, tf, dl, bid) posting rows. One batched
+    decode per Arrow batch (decode_blocked_batch), not one per row."""
     for pdf in batches:
-        ts, ds, tfs, dls, bs = [], [], [], [], []
-        for r in pdf.itertuples(index=False):
-            d, t, dl = decode_blocked(r.doc_bytes, r.tf_bytes, r.dl_bytes,
-                                      r.doc_off, r.tf_off, r.dl_off)
-            ts.append(np.full(d.size, r.tid, dtype=np.int64))
-            bs.append(np.full(d.size, r.bid, dtype=np.int64))
-            ds.append(d); tfs.append(t); dls.append(dl)
-        if not ds:
+        if not len(pdf):
             continue
+        counts = pdf["n_docs"].to_numpy(np.int64)
+        d, t, dl, _ = decode_blocked_batch(
+            pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"],
+            pdf["doc_off"], counts)
         yield pd.DataFrame({
-            "tid": np.concatenate(ts), "doc_id": np.concatenate(ds),
-            "tf": np.concatenate(tfs), "dl": np.concatenate(dls),
-            "bid": np.concatenate(bs),
+            "tid": np.repeat(pdf["tid"].to_numpy(np.int64), counts),
+            "doc_id": d, "tf": t, "dl": dl,
+            "bid": np.repeat(pdf["bid"].to_numpy(np.int64), counts),
         })
 
 
@@ -518,7 +516,8 @@ def _reencode_tid_group_fn(avgdl: float):
     already computed, unlike _encode_tid_group_fn which counts raw
     occurrences). Works under any composite grouping key whose first
     element is the tid — dedup consolidation salts its groups by doc
-    hash so a hot term never lands in one task."""
+    hash so a hot term never lands in one task. Kept for A/B; the
+    default path is the batched _reencode_partition_arrow_fn."""
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
         enc = encode_blocked(pdf["doc_id"].to_numpy(np.int64),
@@ -527,6 +526,60 @@ def _reencode_tid_group_fn(avgdl: float):
         return pd.DataFrame(_enc_dict(key[0], len(pdf), enc))
 
     return encode
+
+
+def _reencode_partition_arrow_fn(avgdl: float, group_cols: tuple,
+                                 shard_col: str | None = None,
+                                 yield_rows: int = 65536):
+    """Batched mapInArrow re-encode: a partition of DECODED (doc_id,
+    tf, dl) posting rows hash-distributed by ``group_cols`` -> one encoded
+    partial row per group, all groups of the partition encoded in ONE
+    encode_blocked_batch pass (same rationale as the merge kernel:
+    per-group applyInPandas overhead dominates at 10^5+ groups). A
+    ``tid`` column must be among group_cols.
+
+    shard_col: when set (compaction), that string column is carried
+    through as the leading output column (SHARD_ENC_SCHEMA); string
+    keys are factorized to int codes for the numpy lexsort."""
+    import pyarrow as pa
+
+    def fn(batches):
+        acc: dict[str, list] = {c: [] for c in
+                                (*group_cols, "doc_id", "tf", "dl")}
+        for b in batches:
+            if not b.num_rows:
+                continue
+            cols = {n: b.column(i) for i, n in enumerate(b.schema.names)}
+            for c in acc:
+                acc[c].append(np.asarray(cols[c]))
+        if not acc["doc_id"]:
+            return
+        arrs = {c: np.concatenate(v) for c, v in acc.items()}
+        d, tf, dl = arrs["doc_id"], arrs["tf"], arrs["dl"]
+        keys = []
+        for c in group_cols:
+            k = arrs[c]
+            if k.dtype == object:  # string shard -> sortable codes
+                _, k = np.unique(k, return_inverse=True)
+            keys.append(k)
+        order = np.lexsort((d, *reversed(keys)))
+        d, tf, dl = d[order], tf[order], dl[order]
+        keys = [k[order] for k in keys]
+        gch = np.empty(d.size, dtype=bool)
+        gch[0] = True
+        gch[1:] = False
+        for k in keys:
+            gch[1:] |= k[1:] != k[:-1]
+        gs = np.flatnonzero(gch)
+        enc = encode_blocked_batch(d, tf, dl, gs, avgdl)
+        key_arrays = []
+        if shard_col is not None:
+            sh = arrs[shard_col][order][gs]
+            key_arrays.append((shard_col, pa.string(), sh))
+        key_arrays.append(("tid", pa.int64(), arrs["tid"][order][gs]))
+        yield from _emit_enc_batches(key_arrays, enc, yield_rows)
+
+    return fn
 
 
 def _recover_dedup_pending(out_dir: str) -> int:
@@ -711,8 +764,8 @@ def dedup_stream_partials(spark: SparkSession, out_dir: str,
             F.nullif(F.regexp_extract(F.col("shard").cast("string"),
                                       r"stream(\d+)", 1), F.lit("")),
             F.lit("-1")).cast("long"))
-        .select("tid", "doc_bytes", "tf_bytes", "dl_bytes",
-                "doc_off", "tf_off", "dl_off", "bid")
+        .select("tid", "n_docs", "doc_bytes", "tf_bytes", "dl_bytes",
+                "doc_off", "bid")
     )
     dec = parts.mapInPandas(_decode_partials_fn, DECODED_PARTIAL_SCHEMA)
     # "latest micro-batch wins" must hold at the DOCUMENT level, not
@@ -746,8 +799,9 @@ def dedup_stream_partials(spark: SparkSession, out_dir: str,
     enc = (
         kept.withColumn(
             "_grp", F.pmod(F.xxhash64("doc_id"), F.lit(n_groups)))
-        .groupBy("tid", "_grp")
-        .applyInPandas(_reencode_tid_group_fn(avgdl), STREAM_ENC_SCHEMA)
+        .repartition("tid", "_grp")
+        .mapInArrow(_reencode_partition_arrow_fn(avgdl, ("tid", "_grp")),
+                    STREAM_ENC_SCHEMA)
     )
     enc.write.mode("overwrite").parquet(tmp)
     n_after = int(
@@ -972,6 +1026,7 @@ def build_index(
     shard_batch: int | None = None,
     pb_mod: int | str = "auto",
     encode_impl: str = "arrow",
+    combine: str | None = None,
 ) -> dict:
     """Full checkpointed build; idempotent/resumable. Returns manifest.
 
@@ -980,10 +1035,45 @@ def build_index(
     kernel — byte-identical output, measured faster at 1M docs because
     it skips the per-batch Arrow<->pandas conversions (BASELINE.md
     round 4); 'pandas' keeps the original mapInPandas kernel for
-    comparison runs."""
+    comparison runs.
+
+    combine ('mapside' | 'shuffle'; default SPARK_GRAFT_BUILD_COMBINE
+    or 'shuffle'): where the token->posting-list aggregation happens.
+
+    * 'mapside' — the exchange-minimal dataflow: the encode kernel runs
+      directly on the scan's partitions (scan -> tokenize -> explode ->
+      encode, ONE fused stage, no exchange), emitting per-partition
+      partial lists; the by-term combine is the merge's salted
+      repartition of COMPRESSED payloads (~2-4 B/posting). A doc's
+      token rows never leave their partition, so per-(doc, term) tf is
+      complete map-side and the merged index is byte-identical to the
+      'shuffle' build's (test-pinned). The exchange it removes is the
+      build's largest by an order of magnitude (one 28 B row per token
+      occurrence); the cost is more, smaller partial rows per tid
+      (n_input_partitions instead of n_shards), which the batched
+      merge kernel absorbs. Measured (BASELINE.md round 4,
+      tools/combine_exp.py): wins 1.09-1.18x when task slots <=
+      physical cores / 2, INVERTS at slots == cores because the fused
+      stage runs a JVM tokenize half and a Python kernel half per
+      task — 2x thread demand per slot. On a real cluster this is an
+      executor-sizing decision (size cores-per-executor for hybrid
+      JVM+Python stages, e.g. spark.task.cpus=2, and 'mapside' is the
+      design-regime default); on this fully-subscribed sandbox the
+      measured default stays 'shuffle'. Partition sizing note: the
+      kernel buffers one partition's token slice (~28 B x
+      tokens/partition), so at very large per-file text densities size
+      spark.sql.files.maxPartitionBytes (or pre-repartition the
+      CORPUS — a doc-level, not token-level, exchange) accordingly.
+    * 'shuffle' — repartition("shard", "tid") of the raw token rows
+      before encoding (one partial row per (shard, tid))."""
     if encode_impl not in ("arrow", "pandas"):
         raise ValueError(
             f"encode_impl must be 'arrow' or 'pandas', got {encode_impl!r}")
+    combine = combine or os.environ.get("SPARK_GRAFT_BUILD_COMBINE",
+                                        "shuffle")
+    if combine not in ("mapside", "shuffle"):
+        raise ValueError(
+            f"combine must be 'mapside' or 'shuffle', got {combine!r}")
     manifest = init_stats(spark, corpus, out_dir, id_col, text_col)
     avgdl = manifest["stats"]["avgdl"]
 
@@ -1007,7 +1097,8 @@ def build_index(
             shard_col.isin(batch)
         )
         raw = raw_token_projection(sub, n_shards, id_col, text_col)
-        shuffled = raw.repartition("shard", "tid")
+        shuffled = (raw.repartition("shard", "tid")
+                    if combine == "shuffle" else raw)
         if encode_impl == "arrow":
             enc = shuffled.mapInArrow(
                 _encode_partition_arrow_fn(avgdl), TID_ENC_SCHEMA)
@@ -1739,25 +1830,25 @@ def _decode_partials_shard_fn(batches):
     twin of _decode_partials_fn — shard is carried so the filtered
     rewrite can restore the exact partials/shard=X layout."""
     for pdf in batches:
-        ss, ts, ds, tfs, dls = [], [], [], [], []
-        for r in pdf.itertuples(index=False):
-            d, t, dl = decode_blocked(r.doc_bytes, r.tf_bytes, r.dl_bytes,
-                                      r.doc_off, r.tf_off, r.dl_off)
-            ss.append(np.full(d.size, str(r.shard), dtype=object))
-            ts.append(np.full(d.size, r.tid, dtype=np.int64))
-            ds.append(d); tfs.append(t); dls.append(dl)
-        if not ds:
+        if not len(pdf):
             continue
+        counts = pdf["n_docs"].to_numpy(np.int64)
+        d, t, dl, _ = decode_blocked_batch(
+            pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"],
+            pdf["doc_off"], counts)
         yield pd.DataFrame({
-            "shard": np.concatenate(ss), "tid": np.concatenate(ts),
-            "doc_id": np.concatenate(ds), "tf": np.concatenate(tfs),
-            "dl": np.concatenate(dls),
+            "shard": np.repeat(
+                pdf["shard"].astype(str).to_numpy(object), counts),
+            "tid": np.repeat(pdf["tid"].to_numpy(np.int64), counts),
+            "doc_id": d, "tf": t, "dl": dl,
         })
 
 
 def _reencode_shard_tid_fn(avgdl: float):
     """Grouped-map kernel: one (shard, tid) group of decoded posting
-    rows -> one encoded partial row tagged with its shard."""
+    rows -> one encoded partial row tagged with its shard. Kept for
+    A/B; the default compaction path is the batched
+    _reencode_partition_arrow_fn."""
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
         enc = encode_blocked(pdf["doc_id"].to_numpy(np.int64),
@@ -1854,13 +1945,14 @@ def compact_tombstones(
     if has_partials:
         parts = spark.read.option("basePath", part_dir).parquet(part_dir)
         dec = parts.select(
-            F.col("shard").cast("string").alias("shard"), "tid",
-            "doc_bytes", "tf_bytes", "dl_bytes",
-            "doc_off", "tf_off", "dl_off",
+            F.col("shard").cast("string").alias("shard"), "tid", "n_docs",
+            "doc_bytes", "tf_bytes", "dl_bytes", "doc_off",
         ).mapInPandas(_decode_partials_shard_fn, DECODED_SHARD_SCHEMA)
         kept = dec.join(tombs, "doc_id", "left_anti")
-        enc = kept.groupBy("shard", "tid").applyInPandas(
-            _reencode_shard_tid_fn(avgdl), SHARD_ENC_SCHEMA)
+        enc = kept.repartition("shard", "tid").mapInArrow(
+            _reencode_partition_arrow_fn(avgdl, ("shard", "tid"),
+                                         shard_col="shard"),
+            SHARD_ENC_SCHEMA)
         enc.repartition("shard").write.mode("overwrite").partitionBy(
             "shard").parquet(tmp)
         # post-filter lineage counts per shard (small: one row per shard)

@@ -168,3 +168,33 @@ def test_merge_arrow_kernel_identical(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="merge_impl"):
         merge_plan(spark, out, avgdl=10.0, merge_impl="bogus").collect()
+
+
+def test_mapside_combine_build_identical_to_shuffle(spark, tmp_path):
+    """combine='mapside' (no token exchange — per-partition partials,
+    merge does the by-term combine) must produce a merged index
+    byte-identical to combine='shuffle': a doc's token rows never
+    leave their partition, so per-(doc, term) tf is complete map-side
+    and the merged (tid, salt) groups hold identical posting sets."""
+    from engine.corpusgen import synth_corpus
+    from engine.postings import build_index, read_index
+
+    docs = (synth_corpus(spark, 300).withColumnRenamed("content", "text")
+            .repartition(7))  # several partitions so partials differ
+    rows = {}
+    for combine in ("shuffle", "mapside"):
+        out = str(tmp_path / combine)
+        build_index(spark, docs, out, n_shards=2, n_salts=2,
+                    combine=combine)
+        idx = read_index(spark, out)
+        rows[combine] = sorted(
+            (r.term, r.salt, r.df, r.n_docs, bytes(r.doc_bytes),
+             bytes(r.tf_bytes), bytes(r.dl_bytes), tuple(r.block_last),
+             tuple(r.block_max), tuple(r.doc_off), tuple(r.tf_off),
+             tuple(r.dl_off))
+            for r in idx["postings"].collect())
+        # mapside partials: more rows per tid than shards is expected
+    assert rows["shuffle"] == rows["mapside"]
+    import pytest
+    with pytest.raises(ValueError, match="combine"):
+        build_index(spark, docs, str(tmp_path / "bad"), combine="x")
