@@ -233,17 +233,19 @@ def _enc_arrow_schema():
     ])
 
 
-def _emit_enc_batches(key_arrays, enc, yield_rows, extra_schema_fields=(),
+def _emit_enc_batches(key_arrays, enc, yield_rows, tail_arrays=(),
                       max_batch_bytes=1 << 30):
     """Slice an encode_blocked_batch result into Arrow RecordBatches.
 
-    key_arrays: list of (name, pa_type, np_array_per_group) leading key
-    columns (e.g. shard+tid for the build, tid+salt for the merge).
-    Binary payload columns are built ZERO-COPY with
-    Array.from_buffers over the batch buffers (offsets from the
-    per-group byte-length cumsums); list columns likewise via
-    ListArray.from_arrays. Slices stay under max_batch_bytes per stream
-    so the int32 binary offsets can never overflow."""
+    key_arrays / tail_arrays: lists of (name, pa_type,
+    per-group-values) columns emitted before / after the payload
+    columns (e.g. shard+tid for the build, tid+salt for the merge,
+    term..df / pb for the one-pass merge). Binary payload columns are
+    built ZERO-COPY with Array.from_buffers over the batch buffers
+    (offsets from the per-group byte-length cumsums); list columns
+    likewise via ListArray.from_arrays. Slices stay under
+    max_batch_bytes per stream so the int32 binary offsets can never
+    overflow."""
     import pyarrow as pa
 
     G = enc["n_docs"].size
@@ -275,7 +277,7 @@ def _emit_enc_batches(key_arrays, enc, yield_rows, extra_schema_fields=(),
                  ("doc_off", pa.list_(pa.int32())),
                  ("tf_off", pa.list_(pa.int32())),
                  ("dl_off", pa.list_(pa.int32()))]
-              + list(extra_schema_fields))
+              + [(n, t) for n, t, _ in tail_arrays])
     schema = pa.schema(fields)
     lo = 0
     while lo < G:
@@ -296,6 +298,7 @@ def _emit_enc_batches(key_arrays, enc, yield_rows, extra_schema_fields=(),
             list_arr(enc["tf_off"], lo, hi, pa.int32()),
             list_arr(enc["dl_off"], lo, hi, pa.int32()),
         ]
+        arrays += [pa.array(arr[lo:hi], type=t) for _, t, arr in tail_arrays]
         yield pa.RecordBatch.from_arrays(arrays, schema=schema)
         lo = hi
 
@@ -479,6 +482,174 @@ def _merge_partition_arrow_fn(avgdl: float, yield_rows: int = 65536):
             enc, yield_rows)
 
     return fn
+
+
+#: one-pass merge output: the FINAL postings serving schema, column
+#: order matching the classic write path (pb is consumed by the
+#: partitioned write)
+ONEPASS_MERGED_SCHEMA = StructType(
+    [StructField("term", StringType(), False),
+     StructField("tid", LongType(), False),
+     StructField("salt", IntegerType(), False),
+     StructField("df", LongType(), False)]
+    + [f for f in TID_MERGED_SCHEMA.fields
+       if f.name not in ("tid", "salt")]
+    + [StructField("pb", IntegerType(), False)]
+)
+
+
+def _merge_onepass_arrow_fn(avgdl: float, pb_mod: int, chunk_postings: int,
+                            yield_rows: int = 65536):
+    """ONE-PASS full-merge kernel (round-4). The classic full merge
+    moves the payload through three passes: a SortMergeJoin with the
+    per-tid df table (to decide hot-term salting), the (tid, msalt)
+    group exchange, then a second SMJ with dfs+term_dict plus a
+    repartition("pb") before the partitioned write. With the batched
+    kernel all of that collapses into ONE exchange:
+
+      * the input is (partials ∪ term_dict) repartitioned by
+        pb = pmod(tid, pb_mod) — every row of a tid (and its dict row)
+        lands in one partition, so df is computable IN-kernel (sum of
+        n_docs over the tid's rows) and the term string is resolved
+        from the dict rows riding the same shuffle (dict rows carry
+        n_docs=0 + empty payload; real partial rows always have
+        n_docs > 0);
+      * hot-term splitting needs no df pre-pass: after the (tid, doc)
+        sort, any group over ``chunk_postings`` is split into
+        CONTIGUOUS doc-range chunks (salt = chunk index) — the same
+        `df > threshold ⇒ multiple rows` contract as hash-salting,
+        with strictly tighter per-row doc ranges for block-max
+        pruning, and it is also what bounds a single row's payload
+        under codec.MAX_LIST_BYTES at any scale;
+      * output rows already live in their pb's partition, so the
+        partitioned write needs no further exchange.
+
+    tids with no dict row are dropped, matching the classic plan's
+    inner join with term_dict."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(batches):
+        tid_l, nd_l = [], []
+        rows_db: list = []
+        rows_tb: list = []
+        rows_lb: list = []
+        rows_off: list = []
+        dict_map: dict[int, str] = {}
+        for b in batches:
+            if not b.num_rows:
+                continue
+            cols = {n: b.column(i) for i, n in enumerate(b.schema.names)}
+            dmask = pc.equal(cols["n_docs"], 0)
+            if pc.any(dmask).as_py():
+                db = b.filter(dmask)
+                dtids = np.asarray(db.column(b.schema.names.index("tid")))
+                dterms = db.column(b.schema.names.index("term"))
+                for i in range(len(dtids)):
+                    dict_map[int(dtids[i])] = dterms[i].as_py()
+                b = b.filter(pc.invert(dmask))
+                if not b.num_rows:
+                    continue
+                cols = {n: b.column(i)
+                        for i, n in enumerate(b.schema.names)}
+            tid_l.append(np.asarray(cols["tid"]))
+            nd_l.append(np.asarray(cols["n_docs"]))
+            rows_db.extend(cols["doc_bytes"].to_pylist())
+            rows_tb.extend(cols["tf_bytes"].to_pylist())
+            rows_lb.extend(cols["dl_bytes"].to_pylist())
+            oc = cols["doc_off"]
+            ov = np.asarray(oc.values)
+            oo = np.asarray(oc.offsets)
+            rows_off.extend(ov[oo[i]:oo[i + 1]] for i in range(len(oc)))
+        if not tid_l:
+            return
+        tid = np.concatenate(tid_l)
+        nd = np.concatenate(nd_l)
+        order = np.argsort(tid, kind="stable")
+        tid_s, nd_s = tid[order], nd[order]
+        d, t, dl, _ = decode_blocked_batch(
+            [rows_db[i] for i in order], [rows_tb[i] for i in order],
+            [rows_lb[i] for i in order], [rows_off[i] for i in order],
+            nd_s)
+        R = tid_s.size
+        gchange = np.empty(R, dtype=bool)
+        gchange[0] = True
+        gchange[1:] = tid_s[1:] != tid_s[:-1]
+        row_gidx = np.cumsum(gchange) - 1
+        gidx = np.repeat(row_gidx, nd_s)
+        order2 = np.lexsort((d, gidx))
+        d2, t2, dl2, g2 = d[order2], t[order2], dl[order2], gidx[order2]
+        gs = np.flatnonzero(
+            np.concatenate(([True], g2[1:] != g2[:-1])))
+        grow = np.flatnonzero(gchange)
+        present = g2[gs]
+        g_tid = tid_s[grow][present]
+        sizes = np.diff(np.append(gs, d2.size))
+        # drop tids without a dict row (classic inner-join semantics)
+        terms = [dict_map.get(int(x)) for x in g_tid]
+        keep_g = np.array([s is not None for s in terms], dtype=bool)
+        if not keep_g.all():
+            keep_p = np.repeat(keep_g, sizes)
+            d2, t2, dl2 = d2[keep_p], t2[keep_p], dl2[keep_p]
+            g_tid = g_tid[keep_g]
+            sizes = sizes[keep_g]
+            gs = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+            terms = [s for s in terms if s is not None]
+            if g_tid.size == 0:
+                return
+        # in-kernel df: every partial row of the tid is in this
+        # partition, so its merged posting count IS the df
+        df_g = sizes.astype(np.int64)
+        # contiguous chunk split (bounded rows; replaces hash-salting)
+        n_chunks = ((sizes + chunk_postings - 1)
+                    // chunk_postings).astype(np.int64)
+        first_chunk = np.cumsum(n_chunks) - n_chunks
+        total_chunks = int(n_chunks.sum())
+        cidx = (np.arange(total_chunks, dtype=np.int64)
+                - np.repeat(first_chunk, n_chunks))
+        c_gs = np.repeat(gs, n_chunks) + cidx * chunk_postings
+        c_tid = np.repeat(g_tid, n_chunks)
+        c_df = np.repeat(df_g, n_chunks)
+        c_terms = np.repeat(np.array(terms, dtype=object), n_chunks)
+        c_salt = cidx.astype(np.int32)
+        c_pb = np.mod(c_tid, pb_mod).astype(np.int32)
+        enc = encode_blocked_batch(d2, t2, dl2, c_gs, avgdl)
+        yield from _emit_enc_batches(
+            [("term", pa.string(), c_terms), ("tid", pa.int64(), c_tid),
+             ("salt", pa.int32(), c_salt), ("df", pa.int64(), c_df)],
+            enc, yield_rows,
+            tail_arrays=[("pb", pa.int32(), c_pb)])
+
+    return fn
+
+
+def merge_onepass_plan(spark: SparkSession, out_dir: str, avgdl: float,
+                       pb_mod: int, chunk_postings: int) -> DataFrame:
+    """The one-pass full-merge dataflow (see _merge_onepass_arrow_fn):
+    (partials ∪ term_dict) -> repartition by pb -> batched kernel ->
+    final serving rows, one payload exchange total. Dict rows travel
+    as n_docs=0 + empty payload so the union is null-free; partials
+    never contain n_docs=0 rows (the encoders skip empty groups)."""
+    partials = spark.read.option(
+        "basePath", os.path.join(out_dir, "partials")
+    ).parquet(os.path.join(out_dir, "partials"))
+    pay = partials.where(F.col("n_docs") > 0).select(
+        F.lit("").alias("term"), "tid", "n_docs",
+        "doc_bytes", "tf_bytes", "dl_bytes", "doc_off")
+    tdict = spark.read.schema(TERM_DICT_SCHEMA).parquet(
+        os.path.join(out_dir, "term_dict")).distinct()
+    empty = F.lit(b"")
+    dict_rows = tdict.select(
+        "term", "tid", F.lit(0).cast("long").alias("n_docs"),
+        empty.alias("doc_bytes"), empty.alias("tf_bytes"),
+        empty.alias("dl_bytes"),
+        F.array().cast("array<int>").alias("doc_off"))
+    un = pay.unionByName(dict_rows)
+    return un.repartition(
+        F.pmod(F.col("tid"), F.lit(pb_mod))
+    ).mapInArrow(
+        _merge_onepass_arrow_fn(avgdl, pb_mod, chunk_postings),
+        ONEPASS_MERGED_SCHEMA)
 
 
 DECODED_PARTIAL_SCHEMA = StructType(
@@ -1534,27 +1705,41 @@ def merge_partials(
         _save_manifest(out_dir, manifest)
         return manifest
 
-    out = merge_plan(spark, out_dir, avgdl, hot_df_threshold, n_salts)
-    # repartition by bucket so each pb is one task -> one file per
-    # bucket dir, term-sorted within it (row-group min/max stats serve
-    # the term IN pushdown inside the surviving partitions). Versioned
-    # dir + manifest pointer flip, like the incremental path: a plain
-    # overwrite of the live table is delete-then-write, so a crash
-    # mid-merge would leave the pointer aimed at a half-written dir and
-    # every reader failing until a rebuild — here the standing version
-    # serves until the flip, and a crash leaves only a garbage dir that
-    # _clean_stale_postings sweeps
+    # Versioned dir + manifest pointer flip, like the incremental path:
+    # a plain overwrite of the live table is delete-then-write, so a
+    # crash mid-merge would leave the pointer aimed at a half-written
+    # dir and every reader failing until a rebuild — here the standing
+    # version serves until the flip, and a crash leaves only a garbage
+    # dir that _clean_stale_postings sweeps. Rows are term-sorted
+    # within each pb partition (row-group min/max stats serve the term
+    # IN pushdown inside the surviving partitions).
     ver = int(manifest.get("postings_version", 0)) + 1
     new_name = f"postings_v{ver}"
     new_dir = os.path.join(out_dir, new_name)
     shutil.rmtree(new_dir, ignore_errors=True)
-    (
-        out.withColumn("pb", _pb_col(pb_mod))
-        .repartition("pb")
-        .sortWithinPartitions("pb", "term")
-        .write.mode("overwrite").partitionBy("pb")
-        .parquet(new_dir)
-    )
+    full_impl = os.environ.get("SPARK_GRAFT_MERGE_FULL", "onepass")
+    if full_impl == "onepass":
+        # one payload exchange total; rows already live in their pb's
+        # partition, so the partitioned write needs no repartition
+        out = merge_onepass_plan(spark, out_dir, avgdl, pb_mod,
+                                 chunk_postings=hot_df_threshold)
+        (
+            out.sortWithinPartitions("pb", "term")
+            .write.mode("overwrite").partitionBy("pb")
+            .parquet(new_dir)
+        )
+    elif full_impl == "classic":
+        out = merge_plan(spark, out_dir, avgdl, hot_df_threshold, n_salts)
+        (
+            out.withColumn("pb", _pb_col(pb_mod))
+            .repartition("pb")
+            .sortWithinPartitions("pb", "term")
+            .write.mode("overwrite").partitionBy("pb")
+            .parquet(new_dir)
+        )
+    else:
+        raise ValueError(f"SPARK_GRAFT_MERGE_FULL must be 'onepass' or "
+                         f"'classic', got {full_impl!r}")
     manifest["merged"] = True
     manifest["postings_dir"] = new_name
     manifest["postings_version"] = ver

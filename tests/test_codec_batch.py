@@ -198,3 +198,47 @@ def test_mapside_combine_build_identical_to_shuffle(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="combine"):
         build_index(spark, docs, str(tmp_path / "bad"), combine="x")
+
+
+def test_onepass_merge_equivalent_to_classic(spark, tmp_path):
+    """The one-pass full merge (single pb-partitioned exchange,
+    in-kernel df, dict rows riding the shuffle, chunk-split hot terms)
+    must serve the same index as the classic three-pass plan: same
+    (term, df) table, same decoded postings per term, and multiple
+    rows for over-threshold terms."""
+    import os
+    from engine.codec import decode_blocked
+    from engine.corpusgen import synth_corpus
+    from engine.postings import build_index, read_index
+
+    docs = (synth_corpus(spark, 300).withColumnRenamed("content", "text")
+            .repartition(5))
+    tables = {}
+    for impl in ("classic", "onepass"):
+        os.environ["SPARK_GRAFT_MERGE_FULL"] = impl
+        try:
+            out = str(tmp_path / impl)
+            # low threshold so several terms take the split path
+            build_index(spark, docs, out, n_shards=2, n_salts=2,
+                        hot_df_threshold=64)
+            idx = read_index(spark, out)
+            decoded = {}
+            hot_rows = {}
+            for r in idx["postings"].collect():
+                d, t, dl = decode_blocked(
+                    r.doc_bytes, r.tf_bytes, r.dl_bytes,
+                    r.doc_off, r.tf_off, r.dl_off)
+                key = (r.term, int(r.df))
+                cur = decoded.setdefault(key, [])
+                cur.extend(zip(d.tolist(), t.tolist(), dl.tolist()))
+                hot_rows[r.term] = hot_rows.get(r.term, 0) + 1
+            tables[impl] = {k: sorted(v) for k, v in decoded.items()}
+            if impl == "onepass":
+                # chunk split GUARANTEES >1 rows past the threshold
+                # (hash-salting only spreads probabilistically)
+                for (term, df), postings in tables[impl].items():
+                    if df > 64:
+                        assert hot_rows[term] > 1, (impl, term, df)
+        finally:
+            os.environ.pop("SPARK_GRAFT_MERGE_FULL", None)
+    assert tables["classic"] == tables["onepass"]
