@@ -440,7 +440,7 @@ def _lm_scored(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     pl = postings_long(docs)
     ds = doc_stats(docs)
     total_tokens = ds.agg(F.sum("dl")).collect()[0][0]
-    qt, terms = local_query_terms(spark, queries_df(spark))
+    qt, terms, _nq = local_query_terms(spark, queries_df(spark))
     return lm_scores(qt, pl, ds, int(total_tokens), kind=kind, terms=terms)
 
 

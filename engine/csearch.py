@@ -853,7 +853,10 @@ def local_query_terms(spark: SparkSession, queries: DataFrame):
     """Tokenize the (by definition tiny) query set driver-side: the
     reference also analyzes queries on the driver
     (LuceneQueryBuilder.java:98-117). Avoids two Spark jobs per search.
-    Returns (qt DataFrame (query_id, term, qtf), distinct term list)."""
+    Returns (qt DataFrame (query_id, term, qtf), distinct term list,
+    n_queries) — the count lets search_index pick its qterm strategy
+    (collect-once for big batches vs in-plan for small ones) without
+    an extra Spark job."""
     from collections import Counter
 
     from .analysis import tokenize_series
@@ -866,14 +869,24 @@ def local_query_terms(spark: SparkSession, queries: DataFrame):
             qt_rows.append((r["query_id"], term, float(qtf)))
             terms.add(term)
     if not qt_rows:
-        return None, []
+        return None, [], 0
     qt = spark.createDataFrame(qt_rows, "query_id string, term string, qtf double")
-    return qt, sorted(terms)
+    return qt, sorted(terms), len({r["query_id"] for r in rows})
 
 
 # prune only when posting lists are long enough that skipping decode
 # work pays for the extra threshold pass (~8 blocks of 128 per term)
 AUTO_PRUNE_MIN_DOCS = 100_000
+
+#: batch size at which search_index switches qterm from lazy in-plan
+#: evaluation to collect-once + local relation. Below the bar (single
+#: queries, bench-sized batches of 50) the dedicated collect job is
+#: pure added latency (+0.65 s p50 at sf0.1, round-4 verdict #1);
+#: above it (1600- and 12,800-query serving batches) deduplicating the
+#: four consumers' metadata-scan jobs cut the marginal batch wall
+#: 23 s -> 7 s at 32 cores. Both routes are score-identical.
+QTERM_COLLECT_MIN_QUERIES = int(os.environ.get(
+    "SPARK_GRAFT_QTERM_COLLECT_MIN", "256"))
 
 #: persisted posting-row plans from prior search_index calls, capped at
 #: the single most recent (round-3 advisor: repeated serving calls
@@ -1027,7 +1040,7 @@ def search_index(
     bfac = max(1.0, avgdl / enc_avgdl) if enc_avgdl > 0 else 1.0
     if prune == "auto":
         prune = n_docs >= AUTO_PRUNE_MIN_DOCS
-    qt, terms = local_query_terms(spark, queries)
+    qt, terms, n_queries = local_query_terms(spark, queries)
     empty = spark.createDataFrame(
         [], "query_id string, doc_id long, score double, rank int"
     )
@@ -1059,45 +1072,59 @@ def search_index(
     # per-term stats from metadata columns only (column pruning keeps
     # the bytes unread in this agg): df for idf, tmax for the UB math.
     # qterm — one row per (query, term), bounded by the query batch —
-    # is evaluated EXACTLY ONCE and re-created as a local relation: its
-    # four consumers (qw broadcast, the matmul weight table, rareq,
-    # the phase-2 thresholds) are otherwise SEPARATE Spark jobs, each
-    # re-running this metadata scan's hundreds of sub-second tasks.
-    # The qprof decomposition (BASELINE.md round-4 serving) measured
+    # has four consumers (qw broadcast, the matmul weight table, rareq,
+    # the phase-2 thresholds). The strategy is batch-size-gated
+    # (round-4 verdict #1): for LARGE batches qterm is evaluated
+    # EXACTLY ONCE (collected, re-created as a local relation) because
+    # the four consumers are otherwise SEPARATE Spark jobs, each
+    # re-running this metadata scan's hundreds of sub-second tasks —
+    # the qprof decomposition (BASELINE.md round-4 serving) measured
     # that scheduler-latency tail at ~1/4 of the 1600-query batch wall
-    # at local-cluster[8,4] — and it GROWS with executor count, the
-    # opposite of scaling. idf/w stay JVM-computed (collected after the
-    # expression), so scores are bit-identical to the multi-job plan
-    # (fuzz rank identity compares at 9 dp).
+    # at local-cluster[8,4], and it GROWS with executor count, the
+    # opposite of scaling (measured 23 s -> 7 s marginal on a
+    # 1600-query batch). For SMALL batches the dedicated collect job
+    # is pure added latency on a path that otherwise has one job
+    # (measured +0.65 s on single-query p50 at sf0.1 — the round-4
+    # regression), so qterm stays lazy in-plan with tmeta broadcast,
+    # exactly the r03 plan. idf/w are JVM-computed on both routes, so
+    # scores are bit-identical either way (fuzz rank identity at 9 dp;
+    # tests pin route score-equality).
     tmeta = payload.groupBy("term").agg(
         F.max("df").alias("df"),
         (F.max(F.array_max("block_max")) * F.lit(bfac)).alias("tmax"),
     )
-    qterm_rows = (
-        qt.join(tmeta, "term")
+    qterm_expr = (
+        qt.join(F.broadcast(tmeta), "term")
         .withColumn("idf", idf_expr(n_docs))
         .withColumn("w", F.col("qtf") * F.col("idf"))
         .select("query_id", "term", "qtf", "tmax", "idf", "w")
-        .collect()
     )
-    qterm = spark.createDataFrame(
-        qterm_rows,
-        "query_id string, term string, qtf double, tmax double, "
-        "idf double, w double",
-    )
-    qw = F.broadcast(qterm.select("query_id", "term", "w"))
     # spread decode work off the tid-bucketed co-location once the
     # index is big enough that one hot term saturates a task (same bar
     # as auto-prune; see _decode_tf_parts)
     spread = n_docs >= AUTO_PRUNE_MIN_DOCS
     if agg_impl == "auto":
         agg_impl = "matmul" if spread else "join"
-    qterm_pd = (pd.DataFrame(
-        {"query_id": pd.Series([r.query_id for r in qterm_rows],
+    if n_queries >= QTERM_COLLECT_MIN_QUERIES:
+        qterm_rows = qterm_expr.collect()
+        qterm = spark.createDataFrame(
+            qterm_rows,
+            "query_id string, term string, qtf double, tmax double, "
+            "idf double, w double",
+        )
+        qterm_pd = (pd.DataFrame(
+            {"query_id": pd.Series([r.query_id for r in qterm_rows],
+                                   dtype=object),
+             "term": pd.Series([r.term for r in qterm_rows],
                                dtype=object),
-         "term": pd.Series([r.term for r in qterm_rows], dtype=object),
-         "w": pd.Series([r.w for r in qterm_rows], dtype="float64")})
-        if agg_impl == "matmul" else None)
+             "w": pd.Series([r.w for r in qterm_rows],
+                            dtype="float64")})
+            if agg_impl == "matmul" else None)
+    else:
+        qterm = qterm_expr
+        qterm_pd = (qterm.select("query_id", "term", "w").toPandas()
+                    if agg_impl == "matmul" else None)
+    qw = F.broadcast(qterm.select("query_id", "term", "w"))
 
     def _finish(scored: DataFrame) -> DataFrame:
         scored = _live(scored)
@@ -1266,7 +1293,7 @@ def pruning_stats(
     n_docs, avgdl = index["n_docs"], index["avgdl"]
     enc_avgdl = float(index.get("encode_avgdl") or avgdl) or avgdl
     bfac = max(1.0, avgdl / enc_avgdl) if enc_avgdl > 0 else 1.0
-    qt, terms = local_query_terms(spark, queries)
+    qt, terms, _nq = local_query_terms(spark, queries)
     if not terms:
         return {"total_blocks": 0, "kept_blocks": 0, "pruned_fraction": 0.0}
     # same tombstone handling as search_index: θ must not be supported

@@ -140,7 +140,7 @@ def search_corpus(
     pl = postings_long(corpus, id_col, text_col)
     ds = doc_stats(corpus, id_col, text_col)
     n_docs, avgdl = _cstats(ds).collect()[0]
-    qt, terms = local_query_terms(spark, queries)
+    qt, terms, _nq = local_query_terms(spark, queries)
     if avgdl is None or n_docs == 0 or not terms:
         return spark.createDataFrame(
             [], "query_id string, doc_id long, score double, rank int"
