@@ -46,32 +46,25 @@ MAX_LIST_BYTES = (1 << 31) - 1
 
 
 def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized varbyte encode of a non-negative int array."""
-    a = np.asarray(values, dtype=np.uint64)
-    if a.size == 0:
-        return b""
-    nb = np.ones(a.size, dtype=np.int64)  # bytes per value
-    v = a >> np.uint64(7)
-    while v.any():
-        nb += (v > 0).astype(np.int64)
-        v >>= np.uint64(7)
-    out = np.zeros(int(nb.sum()), dtype=np.uint8)
-    starts = np.zeros(a.size, dtype=np.int64)
-    starts[1:] = np.cumsum(nb)[:-1]
-    for k in range(int(nb.max())):
-        mask = nb > k
-        byte = ((a[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
-        cont = (nb[mask] - 1 != k)  # continuation bit on all but last byte
-        out[starts[mask] + k] = byte | (cont.astype(np.uint8) << np.uint8(7))
-    return out.tobytes()
+    """Vectorized varbyte encode of a non-negative int array.
+
+    Delegates to varbyte_encode_batch (ADVICE r4: the two bodies were
+    verbatim duplicates, so a wire-format tweak could silently diverge
+    them) — a single-group batch emits exactly this list's bytes."""
+    return varbyte_encode_batch(values)[0].tobytes()
 
 
 def _varbyte_decode_starts(buf) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized varbyte decode -> (uint64 values, int64 byte start
     position of each value). Raises ValueError on a corrupt buffer (no
     terminator at all, or a truncated trailing value) instead of an
-    opaque IndexError / a silently dropped value downstream."""
-    b = np.frombuffer(bytes(buf), dtype=np.uint8)
+    opaque IndexError / a silently dropped value downstream.
+
+    Accepts ANY buffer-protocol object (bytes, memoryview, pyarrow
+    Buffer) ZERO-COPY — the decode kernels hand Arrow payload cells
+    straight through as buffers (round-4 verdict #7), so a multi-MB
+    hot-term payload is never duplicated just to be read."""
+    b = np.frombuffer(memoryview(buf), dtype=np.uint8)
     if b.size == 0:
         return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64))
     ends = np.flatnonzero((b & 0x80) == 0)
@@ -186,8 +179,13 @@ def decode_blocked(
     serving path — runs ONE varbyte pass per stream and fixes the
     per-block delta restarts vectorized (subtract each block's
     preceding running total), instead of a 3-calls-per-block Python
-    loop whose per-call overhead dominated at 128-value blocks."""
-    doc_bytes, tf_bytes, dl_bytes = bytes(doc_bytes), bytes(tf_bytes), bytes(dl_bytes)
+    loop whose per-call overhead dominated at 128-value blocks.
+
+    Payloads may be any buffer-protocol objects (bytes, memoryview,
+    pyarrow Buffer); they are read zero-copy."""
+    doc_bytes = memoryview(doc_bytes)
+    tf_bytes = memoryview(tf_bytes)
+    dl_bytes = memoryview(dl_bytes)
     n_blocks = len(doc_off)
     if keep is None:
         if n_blocks == 0:
@@ -201,8 +199,19 @@ def decode_blocked(
                 f"corrupt posting payload: stream lengths differ "
                 f"(doc {gaps.size}, tf {t.size}, dl {lv.size})")
         # value index where each block starts: its first value's byte
-        # position is exactly the stored block offset
-        vs = np.searchsorted(vstarts, np.asarray(doc_off, dtype=np.int64))
+        # position is exactly the stored block offset. Validate that
+        # every stored offset really falls on a value boundary inside
+        # the stream (ADVICE r4: an offset past the end made
+        # vstarts[vs] raise an opaque IndexError; a mid-value offset
+        # silently misattributed postings) — same check as the batch
+        # decoder.
+        off = np.asarray(doc_off, dtype=np.int64)
+        vs = np.searchsorted(vstarts, off)
+        if (vs >= vstarts.size).any() or not np.array_equal(
+                vstarts[vs], off):
+            raise ValueError(
+                "corrupt posting payload: a block offset does not fall "
+                "on a varbyte value boundary inside the stream")
         c = np.cumsum(gaps, dtype=np.uint64)
         # per-block base = running total just before the block (its
         # first gap is ABSOLUTE, so subtracting the base restores the
@@ -375,11 +384,15 @@ def decode_blocked_batch(
     varbyte pass per stream for the WHOLE batch; the per-block delta
     restarts of every row are repaired with the same
     cumsum-minus-repeated-base subtraction as the single-row fast path,
-    using globalized block byte offsets."""
-    doc_list = [bytes(b) for b in doc_bufs]
+    using globalized block byte offsets.
+
+    Row buffers may be any buffer-protocol objects (bytes, pyarrow
+    Buffers from the decode kernels) — each is read zero-copy; the
+    only copy is the single unavoidable concatenation per stream."""
+    doc_list = [memoryview(b) for b in doc_bufs]
     doc_all = b"".join(doc_list)
-    tf_all = b"".join(bytes(b) for b in tf_bufs)
-    dl_all = b"".join(bytes(b) for b in dl_bufs)
+    tf_all = b"".join(memoryview(b) for b in tf_bufs)
+    dl_all = b"".join(memoryview(b) for b in dl_bufs)
     expected = np.asarray(n_docs_per_row, dtype=np.int64)
     if not doc_all:
         z = np.empty(0, dtype=np.int64)
@@ -407,13 +420,27 @@ def decode_blocked_batch(
     global_block_byte = (np.concatenate(off_arrays)
                          + np.repeat(row_byte_base, blocks_per_row))
     vs = np.searchsorted(vstarts, global_block_byte)
-    if not np.array_equal(vstarts[vs], global_block_byte):
+    # bounds first (ADVICE r4: an offset past the end of the stream
+    # made vstarts[vs] raise an opaque IndexError), then alignment
+    if (vs >= vstarts.size).any() or not np.array_equal(
+            vstarts[vs], global_block_byte):
         raise ValueError("corrupt posting payload: a block offset does not "
                          "fall on a varbyte value boundary")
+    row_starts = np.cumsum(expected) - expected
+    # per-row cross-check (ADVICE r4): each row's FIRST block must
+    # start exactly at value index row_starts[r] — otherwise
+    # mutually-compensating per-row n_docs corruption (total preserved)
+    # would silently shift postings between neighboring rows' tids.
+    # Nearly free: vs and row_starts are already in hand.
+    has_blocks = blocks_per_row > 0
+    first_block = (np.cumsum(blocks_per_row) - blocks_per_row)[has_blocks]
+    if not np.array_equal(vs[first_block], row_starts[has_blocks]):
+        raise ValueError(
+            "corrupt posting payload: a row's n_docs does not match "
+            "where its first block starts in the decoded stream")
     c = np.cumsum(gaps, dtype=np.uint64)
     base = np.where(vs > 0, c[np.maximum(vs - 1, 0)], np.uint64(0))
     counts = np.diff(np.append(vs, gaps.size))
     d = c - np.repeat(base, counts)
-    row_starts = np.cumsum(expected) - expected
     return (d.astype(np.int64), t.astype(np.int64), lv.astype(np.int64),
             row_starts)

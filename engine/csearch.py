@@ -135,9 +135,14 @@ def _decode_score_arrow_iter(avgdl: float, keep_col: str | None):
                 keep = kc[i].as_py() if kc is not None else None
                 if kc is not None and keep is not None and len(keep) == 0:
                     continue
+                # payload cells as zero-copy pa.Buffer views; offset
+                # lists as zero-copy numpy views of the list values
+                # (round-4 verdict #7 — .as_py() made a bytes copy per
+                # multi-MB hot-term payload; the codec reads buffers)
                 d, t, dl = decode_blocked(
-                    db[i].as_py(), tb[i].as_py(), lb[i].as_py(),
-                    do[i].as_py(), to[i].as_py(), lo[i].as_py(),
+                    db[i].as_buffer(), tb[i].as_buffer(), lb[i].as_buffer(),
+                    np.asarray(do[i].values), np.asarray(to[i].values),
+                    np.asarray(lo[i].values),
                     keep=keep,
                 )
                 if d.size == 0:
@@ -264,9 +269,14 @@ def _decode_tf_arrow_iter(avgdl: float, keep_col: str | None):
                 keep = kc[i].as_py() if kc is not None else None
                 if kc is not None and keep is not None and len(keep) == 0:
                     continue
+                # payload cells as zero-copy pa.Buffer views; offset
+                # lists as zero-copy numpy views of the list values
+                # (round-4 verdict #7 — .as_py() made a bytes copy per
+                # multi-MB hot-term payload; the codec reads buffers)
                 d, t, dl = decode_blocked(
-                    db[i].as_py(), tb[i].as_py(), lb[i].as_py(),
-                    do[i].as_py(), to[i].as_py(), lo[i].as_py(),
+                    db[i].as_buffer(), tb[i].as_buffer(), lb[i].as_buffer(),
+                    np.asarray(do[i].values), np.asarray(to[i].values),
+                    np.asarray(lo[i].values),
                     keep=keep,
                 )
                 if d.size == 0:
@@ -633,9 +643,14 @@ def _decode_pack_arrow_iter(avgdl: float, keep_col: str | None,
                 ti = tmap.get(term[i].as_py())
                 if ti is None:  # term outside the batch (defensive)
                     continue
+                # payload cells as zero-copy pa.Buffer views; offset
+                # lists as zero-copy numpy views of the list values
+                # (round-4 verdict #7 — .as_py() made a bytes copy per
+                # multi-MB hot-term payload; the codec reads buffers)
                 d, t, dl = decode_blocked(
-                    db[i].as_py(), tb[i].as_py(), lb[i].as_py(),
-                    do[i].as_py(), to[i].as_py(), lo[i].as_py(),
+                    db[i].as_buffer(), tb[i].as_buffer(), lb[i].as_buffer(),
+                    np.asarray(do[i].values), np.asarray(to[i].values),
+                    np.asarray(lo[i].values),
                     keep=keep,
                 )
                 if d.size == 0:
@@ -854,9 +869,10 @@ def local_query_terms(spark: SparkSession, queries: DataFrame):
     reference also analyzes queries on the driver
     (LuceneQueryBuilder.java:98-117). Avoids two Spark jobs per search.
     Returns (qt DataFrame (query_id, term, qtf), distinct term list,
-    n_queries) — the count lets search_index pick its qterm strategy
-    (collect-once for big batches vs in-plan for small ones) without
-    an extra Spark job."""
+    qt_rows list) — the driver-side rows let search_index pick its
+    qterm strategy (collect-once vs in-plan, by batch size) and build
+    the warm-serving qterm local relation without any extra Spark
+    job."""
     from collections import Counter
 
     from .analysis import tokenize_series
@@ -869,9 +885,9 @@ def local_query_terms(spark: SparkSession, queries: DataFrame):
             qt_rows.append((r["query_id"], term, float(qtf)))
             terms.add(term)
     if not qt_rows:
-        return None, [], 0
+        return None, [], []
     qt = spark.createDataFrame(qt_rows, "query_id string, term string, qtf double")
-    return qt, sorted(terms), len({r["query_id"] for r in rows})
+    return qt, sorted(terms), qt_rows
 
 
 # prune only when posting lists are long enough that skipping decode
@@ -925,6 +941,86 @@ def _track_persist(obj):
     """Register a persisted DataFrame or Broadcast for entry-release."""
     _SERVING_PERSISTS.append(obj)
     return obj
+
+
+def warm_serving(spark: SparkSession, index: dict,
+                 payload_cache: str | None = "memory",
+                 max_terms: int = 2_000_000) -> dict:
+    """Prepare an opened index for REPEATED search_index calls on one
+    long-lived session (round-4 verdict #3: back-to-back serving
+    batches re-paid a ~30 s per-batch constant that neither executor
+    count nor batch size shrank). Two artifacts become resident:
+
+    * ``warm_tmeta`` — per-term (df, raw block-max) for the WHOLE
+      index, collected once from the metadata columns (column pruning
+      keeps the payload bytes unread). Every subsequent batch builds
+      its per-(query, term) weight table as a pure local relation —
+      zero index-metadata scan jobs per batch, and idf/w still
+      evaluate in the JVM so scores stay bit-identical to cold calls.
+      Driver memory is one dict entry per distinct term (~100 B); the
+      max_terms guard refuses vocabularies where that stops being
+      sane — at 10^9-term scale serve COLD instead: the cold path's
+      broadcast-tmeta join is exactly the scale-out variant of this
+      cache.
+    * the postings table persisted (payload_cache 'memory' | 'disk' |
+      None), so each batch's term IN-scan reads resident columnar
+      data instead of re-opening parquet. search_index skips its
+      per-call payload persist while this is active (entry-release
+      keeps applying to cold indexes only). At north-star scale the
+      payload blocks are TB-class: use 'disk' or None there, exactly
+      the cache_level guidance in search_index.
+
+    Stats-drift safety: the warm map records (n_docs, avgdl,
+    encode_avgdl) at warm time; search_index silently falls back to
+    the cold path when they no longer match (an incremental merge or
+    compaction landed) — re-run warm_serving after maintenance.
+    Returns the same dict, mutated in place."""
+    posts = index["postings"]
+    nt = posts.agg(F.countDistinct("term")).collect()[0][0]
+    if nt > max_terms:
+        raise ValueError(
+            f"warm_serving: {nt} distinct terms exceeds max_terms="
+            f"{max_terms}; a driver-side tmeta map is not sane at this "
+            "vocabulary — serve cold (broadcast tmeta join) or raise "
+            "max_terms explicitly")
+    rows = (
+        posts.groupBy("term")
+        .agg(F.max("df").alias("df"),
+             F.max(F.array_max("block_max")).alias("bmax_raw"))
+        .collect()
+    )
+    index["warm_tmeta"] = {r["term"]: (r["df"], r["bmax_raw"])
+                           for r in rows}
+    index["warm_stats"] = (index["n_docs"], index["avgdl"],
+                           index.get("encode_avgdl"))
+    if payload_cache is not None:
+        if payload_cache == "memory":
+            index["postings"] = posts.persist()
+        elif payload_cache == "disk":
+            from pyspark import StorageLevel
+
+            index["postings"] = posts.persist(StorageLevel.DISK_ONLY)
+        else:
+            raise ValueError(
+                f"payload_cache must be 'memory', 'disk', or None, got "
+                f"{payload_cache!r}")
+        index["postings"].count()  # materialize now, not on batch 1
+        index["warm_persisted"] = index["postings"]
+    return index
+
+
+def release_warm(index: dict) -> None:
+    """Undo warm_serving: unpersist the postings table and drop the
+    warm tmeta map (call before delete/merge maintenance that will
+    change stats anyway, or at shutdown)."""
+    wp = index.pop("warm_persisted", None)
+    if wp is not None:
+        try:
+            wp.unpersist()
+        except Exception:
+            pass  # session already stopped
+    index.pop("warm_tmeta", None)
+    index.pop("warm_stats", None)
 
 
 def _pb_pruned_postings(index: dict, terms: list[str]) -> DataFrame:
@@ -993,6 +1089,11 @@ def search_index(
         raise ValueError(
             f"cache_level must be 'memory', 'disk', or 'none', got "
             f"{cache_level!r}")
+    if index.get("warm_persisted") is not None:
+        # warm_serving already holds the postings table resident: a
+        # per-call payload persist would be a second copy of the same
+        # bytes, paid per batch
+        cache_level = "none"
     if agg_impl == "env":
         agg_impl = AGG_IMPL
     if agg_impl not in ("auto", "join", "matmul"):
@@ -1040,7 +1141,8 @@ def search_index(
     bfac = max(1.0, avgdl / enc_avgdl) if enc_avgdl > 0 else 1.0
     if prune == "auto":
         prune = n_docs >= AUTO_PRUNE_MIN_DOCS
-    qt, terms, n_queries = local_query_terms(spark, queries)
+    qt, terms, qt_rows = local_query_terms(spark, queries)
+    n_queries = len({r[0] for r in qt_rows})
     empty = spark.createDataFrame(
         [], "query_id string, doc_id long, score double, rank int"
     )
@@ -1089,16 +1191,40 @@ def search_index(
     # exactly the r03 plan. idf/w are JVM-computed on both routes, so
     # scores are bit-identical either way (fuzz rank identity at 9 dp;
     # tests pin route score-equality).
-    tmeta = payload.groupBy("term").agg(
-        F.max("df").alias("df"),
-        (F.max(F.array_max("block_max")) * F.lit(bfac)).alias("tmax"),
-    )
-    qterm_expr = (
-        qt.join(F.broadcast(tmeta), "term")
-        .withColumn("idf", idf_expr(n_docs))
-        .withColumn("w", F.col("qtf") * F.col("idf"))
-        .select("query_id", "term", "qtf", "tmax", "idf", "w")
-    )
+    wt = index.get("warm_tmeta")
+    if wt is not None and index.get("warm_stats") == (
+            n_docs, avgdl, index.get("encode_avgdl")):
+        # warm-serving path (round-4 verdict #3): per-term (df, raw
+        # block-max) was collected ONCE for the whole index by
+        # warm_serving(); qterm becomes a pure local relation — ZERO
+        # index-metadata scans per batch. idf/w still evaluate in the
+        # JVM on that local relation, so scores stay bit-identical to
+        # the cold path (the warm map is ignored if collection stats
+        # drifted since warm time, e.g. an incremental merge landed).
+        qterm_expr = spark.createDataFrame(
+            [(q, t_, f, float(wt[t_][0]), float(wt[t_][1]))
+             for (q, t_, f) in qt_rows if t_ in wt],
+            "query_id string, term string, qtf double, df double, "
+            "bmax_raw double",
+        )
+        qterm_expr = (
+            qterm_expr
+            .withColumn("tmax", F.col("bmax_raw") * F.lit(bfac))
+            .withColumn("idf", idf_expr(n_docs))
+            .withColumn("w", F.col("qtf") * F.col("idf"))
+            .select("query_id", "term", "qtf", "tmax", "idf", "w")
+        )
+    else:
+        tmeta = payload.groupBy("term").agg(
+            F.max("df").alias("df"),
+            (F.max(F.array_max("block_max")) * F.lit(bfac)).alias("tmax"),
+        )
+        qterm_expr = (
+            qt.join(F.broadcast(tmeta), "term")
+            .withColumn("idf", idf_expr(n_docs))
+            .withColumn("w", F.col("qtf") * F.col("idf"))
+            .select("query_id", "term", "qtf", "tmax", "idf", "w")
+        )
     # spread decode work off the tid-bucketed co-location once the
     # index is big enough that one hot term saturates a task (same bar
     # as auto-prune; see _decode_tf_parts)

@@ -30,7 +30,11 @@ OUT = os.path.join(REPO, "bench", "combine_exp_latest.json")
 
 def _arg(name, default):
     if name in sys.argv:
-        return sys.argv[sys.argv.index(name) + 1]
+        i = sys.argv.index(name)
+        if i + 1 >= len(sys.argv):
+            sys.exit(f"usage: {name} requires a value "
+                     f"(--docs N --vocab N --mode M --reps N)")
+        return sys.argv[i + 1]
     return default
 
 
