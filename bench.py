@@ -701,11 +701,17 @@ def run_scaling(n_docs: int, mode: str = "local",
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     if mode == "local-cluster":
         mem = int(os.environ.get("SPARK_GRAFT_LC_MEM_MB", "10240"))
-        legs = {8: f"local-cluster[2,4,{mem}]",
-                32: f"local-cluster[8,4,{mem}]"}
-        metric = (f"index-build scaling local-cluster[2,4,{mem}] -> "
-                  f"[8,4,{mem}] (2 vs 8 real executor JVMs, netty "
-                  "shuffle; N->4N executors)")
+        # SPARK_GRAFT_LC_CORES: task slots per executor JVM (default
+        # 4). 2 gives the hybrid-slot shape ([2,2] -> [8,2]) the
+        # round-4 combine A/B documented as the 100 TB sizing for
+        # combine='mapside' (fused JVM+Python stages want ~2 threads
+        # per slot); executor count still scales 2 -> 8 = N -> 4N.
+        cores = int(os.environ.get("SPARK_GRAFT_LC_CORES", "4"))
+        legs = {8: f"local-cluster[2,{cores},{mem}]",
+                32: f"local-cluster[8,{cores},{mem}]"}
+        metric = (f"index-build scaling local-cluster[2,{cores},{mem}] "
+                  f"-> [8,{cores},{mem}] (2 vs 8 real executor JVMs, "
+                  "netty shuffle; N->4N executors)")
     else:
         legs = {8: None, 32: None}
         metric = ("index-build scaling local[8]->local[32] (sandbox "
@@ -784,6 +790,9 @@ def run_scaling(n_docs: int, mode: str = "local",
         "mode": mode,
         "vocab_size": vocab_size,
         "masters": {str(c): (legs[c] or f"local[{c}]") for c in legs},
+        # disclose the build-plan knobs this run measured under
+        "combine": os.environ.get("SPARK_GRAFT_BUILD_COMBINE", "shuffle"),
+        "merge_full": os.environ.get("SPARK_GRAFT_MERGE_FULL", "onepass"),
         "n_docs": n_docs,
         "build_wall_8": w8, "build_wall_32": w32,
         "build_docs_per_sec_32": round(n_docs / w32, 1),

@@ -576,7 +576,18 @@ def _merge_onepass_arrow_fn(avgdl: float, pb_mod: int, chunk_postings: int,
         partitioned write needs no further exchange.
 
     tids with no dict row are dropped, matching the classic plan's
-    inner join with term_dict."""
+    inner join with term_dict.
+
+    Per-task memory model (ADVICE r4): a task holds ONE pb bucket's
+    compressed payload (as zero-copy Arrow buffer views, not copies)
+    PLUS its fully decoded postings plus one lexsort permutation —
+    roughly 28-35 bytes per posting of the bucket. Peak scales with
+    total_postings / pb_mod (times the skew of pb-value hashing into
+    tasks), NOT with spark.sql.shuffle.partitions: at 10^12-doc scale
+    size pb_mod so corpus_postings/pb_mod stays a few hundred million
+    (merge_partials' auto pb_mod grows with term count for exactly
+    this reason), and prefer more pb buckets over more shuffle
+    partitions when sizing the merge."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -605,9 +616,14 @@ def _merge_onepass_arrow_fn(avgdl: float, pb_mod: int, chunk_postings: int,
                         for i, n in enumerate(b.schema.names)}
             tid_l.append(np.asarray(cols["tid"]))
             nd_l.append(np.asarray(cols["n_docs"]))
-            rows_db.extend(cols["doc_bytes"].to_pylist())
-            rows_tb.extend(cols["tf_bytes"].to_pylist())
-            rows_lb.extend(cols["dl_bytes"].to_pylist())
+            # zero-copy pa.Buffer views into the Arrow batch (the
+            # codec accepts buffers): the bucket's compressed payload
+            # is held ONCE, not copied row-by-row into bytes
+            db_a, tb_a, lb_a = (cols["doc_bytes"], cols["tf_bytes"],
+                                cols["dl_bytes"])
+            rows_db.extend(db_a[i].as_buffer() for i in range(len(db_a)))
+            rows_tb.extend(tb_a[i].as_buffer() for i in range(len(tb_a)))
+            rows_lb.extend(lb_a[i].as_buffer() for i in range(len(lb_a)))
             oc = cols["doc_off"]
             ov = np.asarray(oc.values)
             oo = np.asarray(oc.offsets)
