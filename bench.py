@@ -174,6 +174,23 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             lats.append(time.time() - t0)
         timings["query_p50"] = round(statistics.median(lats), 3)
 
+        # the same 10 single queries under the warm-serving posture
+        # (round 5): per-term metadata resident, qterm a local relation
+        # — the standing-session serving number. Reported alongside
+        # query_p50 (which stays cold for cross-round comparability;
+        # the headline total also stays on the cold number).
+        from engine.csearch import release_warm, warm_serving
+
+        warm_serving(spark, idx)
+        lats_w = []
+        for qid, q in REFERENCE_QUERIES[5:15]:
+            one = spark.createDataFrame([(qid, q)], ["query_id", "query"])
+            t0 = time.time()
+            search_index(spark, idx, one, k=10, prune="auto").count()
+            lats_w.append(time.time() - t0)
+        timings["query_p50_warm"] = round(statistics.median(lats_w), 3)
+        release_warm(idx)
+
         t0 = time.time()
         search_corpus(spark, docs, qdf, k=100).count()
         timings["e2e_uncompressed"] = round(time.time() - t0, 3)
@@ -551,6 +568,15 @@ def run_query_phase(corpus_path: str, cpus: int) -> dict:
     spark = _mk_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     idx = read_index(spark, idx_dir)
+    # SPARK_GRAFT_WARM_SERVING=1: measure the standing-cluster serving
+    # posture (round-5) — per-term metadata collected once + postings
+    # resident BEFORE the timed batch, the way a long-lived serving
+    # session amortizes it; both cluster sizes pay the same untimed
+    # setup, so the N->4N comparison stays internally consistent.
+    if os.environ.get("SPARK_GRAFT_WARM_SERVING") == "1":
+        from engine.csearch import warm_serving
+
+        warm_serving(spark, idx)
     # warmup: one query end-to-end (JIT, Arrow python workers, the
     # stats/term-dict reads search_index does per call)
     warm = synth_queries(spark, 1, seed=99, vocab_size=vocab_size)
@@ -645,6 +671,7 @@ def run_query_scaling(n_docs: int, mode: str = "local",
         "mode": mode,
         "vocab_size": vocab_size,
         "masters": {str(c): (legs[c] or f"local[{c}]") for c in legs},
+        "warm_serving": os.environ.get("SPARK_GRAFT_WARM_SERVING") == "1",
         "n_docs": n_docs,
         "n_queries": meta.get("n_queries"),
         "query_wall_8": best[8], "query_wall_32": best[32],

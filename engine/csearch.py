@@ -1192,8 +1192,9 @@ def search_index(
     # scores are bit-identical either way (fuzz rank identity at 9 dp;
     # tests pin route score-equality).
     wt = index.get("warm_tmeta")
-    if wt is not None and index.get("warm_stats") == (
-            n_docs, avgdl, index.get("encode_avgdl")):
+    warm_ok = wt is not None and index.get("warm_stats") == (
+        n_docs, avgdl, index.get("encode_avgdl"))
+    if warm_ok:
         # warm-serving path (round-4 verdict #3): per-term (df, raw
         # block-max) was collected ONCE for the whole index by
         # warm_serving(); qterm becomes a pure local relation — ZERO
@@ -1268,6 +1269,31 @@ def search_index(
     use_pack = (agg_impl == "matmul" and MATMUL_PACK == "1"
                 and DECODE_IMPL == "arrow")
 
+    # Single-query warm fast path (round 5): with the warm per-term
+    # map resident, the one query's weights fold into a LITERAL map
+    # expression whose ln() Catalyst constant-folds IN THE JVM — the
+    # same double math as idf_expr on the same inputs — so the
+    # tmeta-scan and qw-broadcast actions disappear entirely. Each
+    # Spark action costs ~0.2-0.35 s of fixed scheduler/py4j overhead
+    # on this host (measured, BASELINE.md round 5), and a single
+    # query's latency is almost entirely action count: this cuts the
+    # unpruned join plan to the decode action alone.
+    warm_single = None
+    if warm_ok and n_queries == 1 and agg_impl == "join" and not prune:
+        entries = []
+        for (_q, t_, qtf) in qt_rows:
+            if t_ not in wt:
+                continue
+            dfv = float(wt[t_][0])
+            idf_lit = F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.lit(dfv) + F.lit(0.5))
+                / (F.lit(dfv) + F.lit(0.5))
+            )
+            entries += [F.lit(t_), F.lit(float(qtf)) * idf_lit]
+        if entries:
+            warm_single = (qt_rows[0][0], F.create_map(*entries))
+
     def _score_topk(rows: DataFrame, keep_col: str | None) -> DataFrame:
         """posting payload rows -> exact top-k, via the configured
         aggregation (module doc for AGG_IMPL; the matmul kernel's own
@@ -1283,6 +1309,15 @@ def search_index(
                 dead_ids, spread))
         decoded = _decode_tf_parts(rows, avgdl, keep_col, spread=spread)
         if agg_impl == "join":
+            if warm_single is not None:
+                qid0, wmap = warm_single
+                return _finish(
+                    decoded.groupBy("doc_id")
+                    .agg(F.sum(F.element_at(wmap, F.col("term"))
+                               * F.col("tf_part")).alias("score"))
+                    .select(F.lit(qid0).alias("query_id"), "doc_id",
+                            "score")
+                )
             return _finish(
                 decoded.join(qw, "term")
                 .groupBy("query_id", "doc_id")

@@ -108,10 +108,17 @@ def test_warm_serving_identical_and_scanless(spark, small_index):
     )
     cold = {p: _res(spark, small_index, qs, k=10, prune=p)
             for p in (False, True)}
+    one = spark.createDataFrame([("s0", "apple banana zzz_absent")],
+                                "query_id string, query string")
+    cold_one = _res(spark, small_index, one, k=10, prune=False)
     warm_serving(spark, small_index, payload_cache="memory")
     assert "warm_tmeta" in small_index and "warm_persisted" in small_index
     for p in (False, True):
         assert _res(spark, small_index, qs, k=10, prune=p) == cold[p]
+    # the single-query literal-map fast path must match the cold join
+    # route exactly (weights constant-folded by the JVM's own ln)
+    assert _res(spark, small_index, one, k=10, prune=False) == cold_one
+    assert len(cold_one) > 0
     # stats drift -> silent cold fallback, results still correct
     small_index["n_docs"] += 1
     try:
