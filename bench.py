@@ -264,6 +264,33 @@ def scaling_evidence() -> dict:
             "_local_cluster" if mode == "local-cluster" else "")
         out[key] = {k: full.get(k) for k in _QUERY_EV_FIELDS}
         out[key]["file"] = os.path.relpath(path, _REPO)
+    # round-5 standing-session / maintenance evidence (tools/warm_exp,
+    # tools/delete_exp): file pointer + the headline scalars only
+    wpath = os.path.join(_REPO, "bench", "warm_exp_latest.json")
+    if os.path.exists(wpath):
+        with open(wpath) as fh:
+            wev = json.load(fh)
+        out["warm_serving_exp"] = {
+            "file": "bench/warm_exp_latest.json",
+            "n_queries_per_batch": wev.get("n_queries_per_batch"),
+            "cold_steady": wev.get("cold_steady"),
+            "warm_steady": wev.get("warm_steady"),
+            "warm_setup_wall": wev.get("warm_setup_wall"),
+            "measured_unix_ts": wev.get("measured_unix_ts"),
+        }
+    dpath = os.path.join(_REPO, "bench", "delete_exp_latest.json")
+    if os.path.exists(dpath):
+        with open(dpath) as fh:
+            dev = json.load(fh)
+        out["delete_exp"] = {
+            "file": "bench/delete_exp_latest.json",
+            "n_docs": dev.get("n_docs"),
+            "n_deleted": dev.get("n_deleted"),
+            "compact_wall": dev.get("compact_wall"),
+            "rebuild_wall": dev.get("rebuild_wall"),
+            "identity_ok": dev.get("identity_ok"),
+            "measured_unix_ts": dev.get("measured_unix_ts"),
+        }
     # design-regime runs are a host-quietness lottery (BASELINE.md):
     # point at the snapshot files and digest the best windows instead
     # of inlining all of them
