@@ -204,8 +204,23 @@ TFPART_ROWS = StructType(
     ]
 )
 
+#: df-passthrough variant (round 6): the payload row's own `df` column
+#: rides through the decode, so the unpruned join route can compute
+#: idf/w JVM-side from the decoded rows directly — no per-term metadata
+#: aggregation job at all (every chunk of a term carries the term's
+#: full df; merge_plan/merge_onepass join it per tid onto every row)
+TFPART_DF_ROWS = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("tf_part", DoubleType(), False),
+        StructField("df", LongType(), False),
+    ]
+)
 
-def _decode_tf_iter(avgdl: float, keep_col: str | None):
+
+def _decode_tf_iter(avgdl: float, keep_col: str | None,
+                    with_df: bool = False):
     """mapInPandas kernel: posting rows -> (term, doc_id, tf_part).
 
     The query-independent half of the score (BM25 tf saturation): each
@@ -218,7 +233,7 @@ def _decode_tf_iter(avgdl: float, keep_col: str | None):
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            terms, docs, parts = [], [], []
+            terms, docs, parts, dfs = [], [], [], []
             for r in pdf.itertuples(index=False):
                 keep = getattr(r, keep_col) if keep_col else None
                 if keep_col and keep is not None and len(keep) == 0:
@@ -233,28 +248,36 @@ def _decode_tf_iter(avgdl: float, keep_col: str | None):
                 terms.append(np.full(d.size, r.term, dtype=object))
                 docs.append(d)
                 parts.append(tf_part(t, dl, avgdl))
+                if with_df:
+                    dfs.append(np.full(d.size, r.df, dtype=np.int64))
             if terms:
-                yield pd.DataFrame(
-                    {
-                        "term": np.concatenate(terms),
-                        "doc_id": np.concatenate(docs),
-                        "tf_part": np.concatenate(parts),
-                    }
-                )
+                out = {
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(docs),
+                    "tf_part": np.concatenate(parts),
+                }
+                if with_df:
+                    out["df"] = np.concatenate(dfs)
+                yield pd.DataFrame(out)
 
     return fn
 
 
-def _decode_tf_arrow_iter(avgdl: float, keep_col: str | None):
+def _decode_tf_arrow_iter(avgdl: float, keep_col: str | None,
+                          with_df: bool = False):
     """mapInArrow twin of _decode_tf_iter (same zero-copy assembly as
-    _decode_score_arrow_iter)."""
+    _decode_score_arrow_iter). with_df passes the payload row's df
+    column through (see TFPART_DF_ROWS)."""
     import pyarrow as pa
 
-    out_schema = pa.schema([
+    fields = [
         ("term", pa.string()),
         ("doc_id", pa.int64()),
         ("tf_part", pa.float64()),
-    ])
+    ]
+    if with_df:
+        fields.append(("df", pa.int64()))
+    out_schema = pa.schema(fields)
 
     def fn(batches):
         for b in batches:
@@ -263,8 +286,9 @@ def _decode_tf_arrow_iter(avgdl: float, keep_col: str | None):
             term = cols["term"]
             db, tb, lb = cols["doc_bytes"], cols["tf_bytes"], cols["dl_bytes"]
             do, to, lo = cols["doc_off"], cols["tf_off"], cols["dl_off"]
+            dfc = cols["df"] if with_df else None
             kc = cols[keep_col] if keep_col else None
-            terms, docs, parts = [], [], []
+            terms, docs, parts, dfs = [], [], [], []
             for i in range(b.num_rows):
                 keep = kc[i].as_py() if kc is not None else None
                 if kc is not None and keep is not None and len(keep) == 0:
@@ -284,22 +308,27 @@ def _decode_tf_arrow_iter(avgdl: float, keep_col: str | None):
                 terms.append(np.full(d.size, term[i].as_py(), dtype=object))
                 docs.append(d.astype(np.int64, copy=False))
                 parts.append(tf_part(t, dl, avgdl))
+                if with_df:
+                    dfs.append(np.full(d.size, dfc[i].as_py(),
+                                       dtype=np.int64))
             if terms:
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(np.concatenate(terms), type=pa.string()),
-                        pa.array(np.concatenate(docs), type=pa.int64()),
-                        pa.array(np.concatenate(parts), type=pa.float64()),
-                    ],
-                    schema=out_schema,
-                )
+                arrays = [
+                    pa.array(np.concatenate(terms), type=pa.string()),
+                    pa.array(np.concatenate(docs), type=pa.int64()),
+                    pa.array(np.concatenate(parts), type=pa.float64()),
+                ]
+                if with_df:
+                    arrays.append(pa.array(np.concatenate(dfs),
+                                           type=pa.int64()))
+                yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
     return fn
 
 
 def _decode_tf_parts(rows: DataFrame, avgdl: float,
                      keep_col: str | None,
-                     spread: bool = False) -> DataFrame:
+                     spread: bool = False,
+                     with_df: bool = False) -> DataFrame:
     """Apply the configured decode kernel, emitting query-independent
     (term, doc_id, tf_part) rows (decode once per payload row).
 
@@ -325,10 +354,12 @@ def _decode_tf_parts(rows: DataFrame, avgdl: float,
     if spread:
         sc = rows.sparkSession.sparkContext
         rows = rows.repartition(sc.defaultParallelism * 4)
+    schema = TFPART_DF_ROWS if with_df else TFPART_ROWS
     if _decode_impl() == "arrow":
         return rows.mapInArrow(
-            _decode_tf_arrow_iter(avgdl, keep_col), TFPART_ROWS)
-    return rows.mapInPandas(_decode_tf_iter(avgdl, keep_col), TFPART_ROWS)
+            _decode_tf_arrow_iter(avgdl, keep_col, with_df), schema)
+    return rows.mapInPandas(_decode_tf_iter(avgdl, keep_col, with_df),
+                            schema)
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:
@@ -894,13 +925,15 @@ def local_query_terms(spark: SparkSession, queries: DataFrame):
 # work pays for the extra threshold pass (~8 blocks of 128 per term)
 AUTO_PRUNE_MIN_DOCS = 100_000
 
-#: batch size at which search_index switches qterm from lazy in-plan
-#: evaluation to collect-once + local relation. Below the bar (single
-#: queries, bench-sized batches of 50) the dedicated collect job is
-#: pure added latency (+0.65 s p50 at sf0.1, round-4 verdict #1);
-#: above it (1600- and 12,800-query serving batches) deduplicating the
-#: four consumers' metadata-scan jobs cut the marginal batch wall
-#: 23 s -> 7 s at 32 cores. Both routes are score-identical.
+#: RETIRED round 6 (kept for config/test compatibility): the round-4/5
+#: qterm gate chose between lazy in-plan qterm and collect-once by
+#: batch size. The round-6 strategy subsumes both: the unpruned join
+#: route derives idf/w from the payload's own df column (zero metadata
+#: jobs at ANY batch size) and the pruned route always brings per-term
+#: metadata driver-side exactly once (one job cold, zero warm), so
+#: there is no route left to gate. Routes remain score-identical by
+#: construction; the old A/B tests still pass (both settings now pick
+#: the same plan).
 QTERM_COLLECT_MIN_QUERIES = int(os.environ.get(
     "SPARK_GRAFT_QTERM_COLLECT_MIN", "256"))
 
@@ -1089,11 +1122,6 @@ def search_index(
         raise ValueError(
             f"cache_level must be 'memory', 'disk', or 'none', got "
             f"{cache_level!r}")
-    if index.get("warm_persisted") is not None:
-        # warm_serving already holds the postings table resident: a
-        # per-call payload persist would be a second copy of the same
-        # bytes, paid per batch
-        cache_level = "none"
     if agg_impl == "env":
         agg_impl = AGG_IMPL
     if agg_impl not in ("auto", "join", "matmul"):
@@ -1139,6 +1167,24 @@ def search_index(
     n_docs, avgdl = index["n_docs"], index["avgdl"]
     enc_avgdl = float(index.get("encode_avgdl") or avgdl) or avgdl
     bfac = max(1.0, avgdl / enc_avgdl) if enc_avgdl > 0 else 1.0
+    # Warm-serving state. ADVICE-r5 #1: the per-call payload persist is
+    # skipped only while the warm persist is VALID — stats unchanged
+    # AND the persisted handle still IS index['postings']; on detected
+    # drift (maintenance landed under a live warm index) the stale
+    # persisted copy is dropped here instead of pinning pre-maintenance
+    # bytes in executor storage until someone calls release_warm().
+    wt = index.get("warm_tmeta")
+    warm_ok = wt is not None and index.get("warm_stats") == (
+        n_docs, avgdl, index.get("encode_avgdl"))
+    if index.get("warm_persisted") is not None:
+        if warm_ok and index.get("warm_persisted") is index.get("postings"):
+            # warm_serving already holds the postings table resident: a
+            # per-call payload persist would be a second copy of the
+            # same bytes, paid per batch
+            cache_level = "none"
+        else:
+            release_warm(index)
+            wt, warm_ok = None, False
     if prune == "auto":
         prune = n_docs >= AUTO_PRUNE_MIN_DOCS
     qt, terms, qt_rows = local_query_terms(spark, queries)
@@ -1171,87 +1217,71 @@ def search_index(
         payload = _track_persist(payload.persist(StorageLevel.DISK_ONLY))
     # 'none': no persist — phases re-run the IN-pushdown scan
 
-    # per-term stats from metadata columns only (column pruning keeps
-    # the bytes unread in this agg): df for idf, tmax for the UB math.
-    # qterm — one row per (query, term), bounded by the query batch —
-    # has four consumers (qw broadcast, the matmul weight table, rareq,
-    # the phase-2 thresholds). The strategy is batch-size-gated
-    # (round-4 verdict #1): for LARGE batches qterm is evaluated
-    # EXACTLY ONCE (collected, re-created as a local relation) because
-    # the four consumers are otherwise SEPARATE Spark jobs, each
-    # re-running this metadata scan's hundreds of sub-second tasks —
-    # the qprof decomposition (BASELINE.md round-4 serving) measured
-    # that scheduler-latency tail at ~1/4 of the 1600-query batch wall
-    # at local-cluster[8,4], and it GROWS with executor count, the
-    # opposite of scaling (measured 23 s -> 7 s marginal on a
-    # 1600-query batch). For SMALL batches the dedicated collect job
-    # is pure added latency on a path that otherwise has one job
-    # (measured +0.65 s on single-query p50 at sf0.1 — the round-4
-    # regression), so qterm stays lazy in-plan with tmeta broadcast,
-    # exactly the r03 plan. idf/w are JVM-computed on both routes, so
-    # scores are bit-identical either way (fuzz rank identity at 9 dp;
-    # tests pin route score-equality).
-    wt = index.get("warm_tmeta")
-    warm_ok = wt is not None and index.get("warm_stats") == (
-        n_docs, avgdl, index.get("encode_avgdl"))
-    if warm_ok:
-        # warm-serving path (round-4 verdict #3): per-term (df, raw
-        # block-max) was collected ONCE for the whole index by
-        # warm_serving(); qterm becomes a pure local relation — ZERO
-        # index-metadata scans per batch. idf/w still evaluate in the
-        # JVM on that local relation, so scores stay bit-identical to
-        # the cold path (the warm map is ignored if collection stats
-        # drifted since warm time, e.g. an incremental merge landed).
-        qterm_expr = spark.createDataFrame(
-            [(q, t_, f, float(wt[t_][0]), float(wt[t_][1]))
-             for (q, t_, f) in qt_rows if t_ in wt],
-            "query_id string, term string, qtf double, df double, "
-            "bmax_raw double",
-        )
-        qterm_expr = (
-            qterm_expr
-            .withColumn("tmax", F.col("bmax_raw") * F.lit(bfac))
-            .withColumn("idf", idf_expr(n_docs))
-            .withColumn("w", F.col("qtf") * F.col("idf"))
-            .select("query_id", "term", "qtf", "tmax", "idf", "w")
-        )
-    else:
-        tmeta = payload.groupBy("term").agg(
-            F.max("df").alias("df"),
-            (F.max(F.array_max("block_max")) * F.lit(bfac)).alias("tmax"),
-        )
-        qterm_expr = (
-            qt.join(F.broadcast(tmeta), "term")
-            .withColumn("idf", idf_expr(n_docs))
-            .withColumn("w", F.col("qtf") * F.col("idf"))
-            .select("query_id", "term", "qtf", "tmax", "idf", "w")
-        )
+    # Per-term metadata strategy (round 6, action-count driven — see
+    # BASELINE.md "Single-query latency anatomy": every Spark
+    # action/AQE stage launch costs ~0.3 s on this host class, so
+    # serving latency is dominated by how many chained jobs the plan
+    # materializes, not by per-row work at bench scale):
+    #   * unpruned join route: NO per-term metadata job at all — the
+    #     payload's own df column rides through the decode kernel
+    #     (TFPART_DF_ROWS) and idf/w evaluate JVM-side on the decoded
+    #     rows; the (query_id, term, qtf) table is already driver-side
+    #     (local_query_terms), so its broadcast builds without a job.
+    #   * pruned route: per-term (df, raw block-max) is brought
+    #     driver-side ONCE — from the warm map when warm, else via one
+    #     metadata-column aggregation (column pruning keeps the byte
+    #     payloads unread) — and every downstream consumer (rare-term
+    #     pick, UB sums, per-term block thresholds) is plain driver
+    #     arithmetic instead of its own chain of Spark stages. The r05
+    #     in-plan variant re-evaluated that scan in four separate
+    #     broadcast sub-jobs (~30 chained stages at sf0.1).
+    #   * scoring weights stay JVM-evaluated everywhere: qterm becomes
+    #     a LOCAL relation carrying (qtf, df) and idf/w are Catalyst
+    #     expressions over it — the same expression on the same inputs
+    #     as the old tmeta-join route, so scores are bit-identical
+    #     (fuzz rank identity at 9 dp; tests pin route equality) — and
+    #     its broadcast builds driver-side for free.
     # spread decode work off the tid-bucketed co-location once the
     # index is big enough that one hot term saturates a task (same bar
     # as auto-prune; see _decode_tf_parts)
     spread = n_docs >= AUTO_PRUNE_MIN_DOCS
     if agg_impl == "auto":
         agg_impl = "matmul" if spread else "join"
-    if n_queries >= QTERM_COLLECT_MIN_QUERIES:
-        qterm_rows = qterm_expr.collect()
-        qterm = spark.createDataFrame(
-            qterm_rows,
-            "query_id string, term string, qtf double, tmax double, "
-            "idf double, w double",
+    meta: dict = {}
+    if prune:
+        if warm_ok:
+            # ADVICE-r5 #2: tolerate degenerate warm rows whose
+            # collected df/block_max came back NULL (foreign or
+            # hand-edited index) — such terms keep all blocks via the
+            # -inf threshold default below, mirroring the cold join's
+            # null tolerance
+            meta = {t: wt[t] for t in terms if t in wt
+                    and wt[t][0] is not None and wt[t][1] is not None}
+        else:
+            # Job A: the ONE per-call index-metadata aggregation
+            meta = {
+                r["term"]: (r["df"], r["bmax_raw"])
+                for r in payload.groupBy("term").agg(
+                    F.max("df").alias("df"),
+                    F.max(F.array_max("block_max")).alias("bmax_raw"),
+                ).collect()
+                if r["df"] is not None and r["bmax_raw"] is not None
+            }
+
+    def _qterm_local() -> DataFrame:
+        """(query_id, term, qtf, df, idf, w) as a LOCAL relation —
+        idf/w are JVM expressions (scores stay bit-identical to the
+        old tmeta-join route) and the broadcast builds without a
+        Spark job. Pruned-path only (meta is populated there)."""
+        rows = [(q, t_, f, float(meta[t_][0]))
+                for (q, t_, f) in qt_rows if t_ in meta]
+        return (
+            spark.createDataFrame(
+                rows,
+                "query_id string, term string, qtf double, df double")
+            .withColumn("idf", idf_expr(n_docs))
+            .withColumn("w", F.col("qtf") * F.col("idf"))
         )
-        qterm_pd = (pd.DataFrame(
-            {"query_id": pd.Series([r.query_id for r in qterm_rows],
-                                   dtype=object),
-             "term": pd.Series([r.term for r in qterm_rows],
-                               dtype=object),
-             "w": pd.Series([r.w for r in qterm_rows],
-                            dtype="float64")})
-            if agg_impl == "matmul" else None)
-    else:
-        qterm = qterm_expr
-        qterm_pd = (qterm.select("query_id", "term", "w").toPandas()
-                    if agg_impl == "matmul" else None)
-    qw = F.broadcast(qterm.select("query_id", "term", "w"))
 
     def _finish(scored: DataFrame) -> DataFrame:
         scored = _live(scored)
@@ -1282,8 +1312,8 @@ def search_index(
     if warm_ok and n_queries == 1 and agg_impl == "join" and not prune:
         entries = []
         for (_q, t_, qtf) in qt_rows:
-            if t_ not in wt:
-                continue
+            if t_ not in wt or wt[t_][0] is None:
+                continue  # ADVICE-r5 #2: degrade like the cold join
             dfv = float(wt[t_][0])
             idf_lit = F.log(
                 F.lit(1.0)
@@ -1303,76 +1333,99 @@ def search_index(
         (the matmul kernels emit unrounded candidate scores cut with
         a one-quantum relaxation), and matmul pre-drops tombstones,
         making _finish's anti-join a no-op."""
-        if use_pack:
-            return _finish(_matmul_score_topk_packed(
-                rows, keep_col, avgdl, qterm_pd, k, round_dp,
-                dead_ids, spread))
-        decoded = _decode_tf_parts(rows, avgdl, keep_col, spread=spread)
-        if agg_impl == "join":
-            if warm_single is not None:
-                qid0, wmap = warm_single
-                return _finish(
-                    decoded.groupBy("doc_id")
-                    .agg(F.sum(F.element_at(wmap, F.col("term"))
-                               * F.col("tf_part")).alias("score"))
-                    .select(F.lit(qid0).alias("query_id"), "doc_id",
-                            "score")
-                )
+        if agg_impl == "matmul":
+            if prune:
+                # local qterm relation: JVM w, no metadata re-scan
+                qterm_pd = (_qterm_local()
+                            .select("query_id", "term", "w").toPandas())
+            else:
+                # unpruned matmul: derive w in-plan from the payload's
+                # df metadata column (one bounded action, no tmax)
+                qterm_pd = (
+                    qt.join(F.broadcast(
+                        payload.groupBy("term").agg(
+                            F.max("df").alias("df"))), "term")
+                    .withColumn("w", F.col("qtf") * idf_expr(n_docs))
+                    .select("query_id", "term", "w").toPandas())
+            if use_pack:
+                return _finish(_matmul_score_topk_packed(
+                    rows, keep_col, avgdl, qterm_pd, k, round_dp,
+                    dead_ids, spread))
+            decoded = _decode_tf_parts(rows, avgdl, keep_col,
+                                       spread=spread)
+            return _finish(_matmul_score_topk(
+                _live(decoded), qterm_pd, k, round_dp))
+        # join aggregation
+        if warm_single is not None:
+            decoded = _decode_tf_parts(rows, avgdl, keep_col,
+                                       spread=spread)
+            qid0, wmap = warm_single
             return _finish(
-                decoded.join(qw, "term")
+                decoded.groupBy("doc_id")
+                .agg(F.sum(F.element_at(wmap, F.col("term"))
+                           * F.col("tf_part")).alias("score"))
+                .select(F.lit(qid0).alias("query_id"), "doc_id",
+                        "score")
+            )
+        if not prune:
+            # df-passthrough (round 6): idf/w from the decoded rows'
+            # own df column, query weights a free local broadcast —
+            # zero metadata jobs. Same multiplication chain as the
+            # qterm route ((qtf*idf)*tf_part), so scores are
+            # bit-identical.
+            decoded = _decode_tf_parts(rows, avgdl, keep_col,
+                                       spread=spread, with_df=True)
+            qtl = F.broadcast(spark.createDataFrame(
+                qt_rows, "query_id string, term string, qtf double"))
+            return _finish(
+                decoded.join(qtl, "term")
+                .withColumn("w", F.col("qtf") * idf_expr(n_docs))
                 .groupBy("query_id", "doc_id")
                 .agg(F.sum(F.col("w") * F.col("tf_part")).alias("score"))
             )
-        return _finish(_matmul_score_topk(
-            _live(decoded), qterm_pd, k, round_dp))
+        decoded = _decode_tf_parts(rows, avgdl, keep_col, spread=spread)
+        qw = F.broadcast(_qterm_local().select("query_id", "term", "w"))
+        return _finish(
+            decoded.join(qw, "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(F.col("w") * F.col("tf_part")).alias("score"))
+        )
 
     payload_cols = ("term", "doc_bytes", "tf_bytes", "dl_bytes",
                     "doc_off", "tf_off", "dl_off")
     if not prune:
-        return _score_topk(payload.select(*payload_cols), None)
+        cols = payload_cols if agg_impl == "matmul" else (
+            *payload_cols, "df")
+        return _score_topk(payload.select(*cols), None)
 
-    # phase 1: θ from the rarest (highest-idf, ties to min term) term
-    # of each query; rare terms are decoded once each and the per-query
-    # weight joins onto the decoded rows
-    wmax = Window.partitionBy("query_id")
-    rareq = (
-        qterm.withColumn("idf_max", F.max("idf").over(wmax))
-        .where(F.col("idf") == F.col("idf_max"))
-        .withColumn("rare_term", F.min("term").over(wmax))
-        .where(F.col("term") == F.col("rare_term"))
-        .select("query_id", "term", "w")
-    )
-    rare_payload = payload.join(
-        F.broadcast(rareq.select("term").distinct()), "term", "left_semi")
-    phase1 = _live(
-        _decode_tf_parts(rare_payload.select(*payload_cols), avgdl, None,
-                         spread=spread)
-        .join(F.broadcast(rareq), "term")
-        .withColumn("term_score", F.col("w") * F.col("tf_part"))
-    )
-    wrank = Window.partitionBy("query_id").orderBy(
-        F.col("term_score").desc(), F.col("doc_id").asc()
-    )
-    theta = (
-        phase1.withColumn("rn", F.row_number().over(wrank))
-        .where(F.col("rn") <= k)
-        .groupBy("query_id")
-        .agg(F.min("term_score").alias("theta"), F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "theta",
-            F.when(F.col("cnt") >= k, F.col("theta")).otherwise(F.lit(float("-inf"))),
-        )
-        .select("query_id", "theta")
-    )
-    if round_dp is not None:
-        # relax by one rounding quantum (see docstring)
-        theta = theta.withColumn(
-            "theta", F.col("theta") - F.lit(10.0 ** -round_dp)
-        )
-
-    # phase 2: per-query UBsum on the tiny qterm table, then ONE block
-    # threshold per TERM — the union of every sharing query's keep
-    # condition. Per (q,t) a block is needed iff
+    # ---- pruned path (round 6 restructure): two compact jobs + the
+    # returned plan. The r05 version kept θ/UB/thresholds in-plan:
+    # qterm was re-evaluated by four consumers and every broadcast ran
+    # as its own AQE sub-job — ~30 chained stage launches at sf0.1
+    # (BASELINE.md anatomy), i.e. the whole forced-prune wall was
+    # scheduler floor. Now:
+    #   Job A (cold only, `meta` above): ONE metadata-column
+    #     aggregation -> driver dict (term -> (df, raw block-max)).
+    #   Job B: phase-1 θ — decode ONLY each query's rarest term.
+    #     Rarest = highest idf = LOWEST df (idf is strictly decreasing
+    #     in df, ties to min term — the pick is identical to the old
+    #     max-idf window, now a driver-side min over `meta`); the
+    #     k-th best single-term score per query is collected
+    #     (<= n_queries rows). w for these term_scores is JVM-evaluated
+    #     on a local relation (bit-identical to the old plan).
+    #   Driver: phase 2 — per-query UB sums and the per-term block
+    #     threshold (MIN of the keep condition over sharing queries,
+    #     exactly the old groupBy) in plain Python. These feed PRUNING
+    #     BOUNDS only: driver floats can differ from the JVM's by an
+    #     ulp per op, so every finite threshold is relaxed by a
+    #     relative 1e-9 (+1e-12) — pruning errs on the KEEP side, and
+    #     a superset decode is always rank-exact (the WAND argument
+    #     below).
+    #   Plan: payload ⋈ broadcast(local thresholds) -> keep_blocks ->
+    #     decode survivors -> aggregate -> top-k window; every
+    #     broadcast builds from a local relation (no sub-jobs).
+    #
+    # phase-2 math (unchanged): per (q,t) a block is needed iff
     #     w*bmax*bfac >= θ(q) - (UBsum(q) - w*tmax)
     # ⟺  bmax >= (θ(q) - UBsum(q)) / (w*bfac) + tmax/bfac
     # so the per-term threshold is the MIN of the right-hand side over
@@ -1398,28 +1451,95 @@ def search_index(
     #   (c) dividing the keep condition by w*bfac flips the
     #       inequality for w < 0; a w <= 0 term can never RAISE a
     #       score toward θ, so keep all its blocks (-inf threshold).
-    ub = qterm.groupBy("query_id").agg(
-        F.sum(F.greatest(F.col("w"), F.lit(0.0)) * F.col("tmax"))
-        .alias("ubsum"),
-        F.sum(F.least(F.col("w") * F.col("tmax"), F.lit(0.0)))
-        .alias("negsum"),
-    )
-    rhs = (
-        (F.col("theta") + F.col("negsum") - F.col("ubsum"))
-        / (F.col("w") * F.lit(bfac))
-        + F.col("tmax") / F.lit(bfac)
-    )
-    thresh = F.broadcast(
-        qterm.join(ub, "query_id")
-        .join(theta, "query_id", "left")
-        .withColumn("theta", F.coalesce(F.col("theta"), F.lit(float("-inf"))))
-        .groupBy("term")
-        .agg(F.min(
-            F.when(F.col("w") > 0, rhs).otherwise(F.lit(float("-inf")))
-        ).alias("bthresh"))
-    )
+    import math
+
+    def _py_w(qtf: float, dfv: float) -> float:
+        # bounds-only driver twin of idf_expr (ulp differences from
+        # the JVM are absorbed by the epsilon relaxation)
+        return qtf * math.log1p((float(n_docs) - dfv + 0.5) / (dfv + 0.5))
+
+    qtf_map = {(q, t_): f for (q, t_, f) in qt_rows}
+    rare_pick: dict[str, tuple] = {}  # query -> ((df, term), term)
+    for (q, t_, f) in qt_rows:
+        if t_ not in meta:
+            continue
+        key = (float(meta[t_][0]), t_)
+        cur = rare_pick.get(q)
+        if cur is None or key < cur[0]:
+            rare_pick[q] = (key, t_)
+    rare_terms = sorted({v[1] for v in rare_pick.values()})
+
+    theta: dict[str, float] = {}
+    if rare_terms:
+        # Job B: θ. The rare-term payload filter is a driver literal
+        # (IN-pushdown, no semi-join); w is JVM-evaluated on the local
+        # rareq relation, so θ is bit-identical to the old plan's.
+        rareq_local = F.broadcast(
+            spark.createDataFrame(
+                [(q, v[1], qtf_map[(q, v[1])], float(meta[v[1]][0]))
+                 for q, v in rare_pick.items()],
+                "query_id string, term string, qtf double, df double")
+            .withColumn("w", F.col("qtf") * idf_expr(n_docs))
+            .select("query_id", "term", "w"))
+        phase1 = _live(
+            _decode_tf_parts(
+                payload.where(F.col("term").isin(rare_terms))
+                .select(*payload_cols),
+                avgdl, None, spread=spread)
+            .join(rareq_local, "term")
+            .withColumn("term_score", F.col("w") * F.col("tf_part"))
+        )
+        wrank = Window.partitionBy("query_id").orderBy(
+            F.col("term_score").desc(), F.col("doc_id").asc()
+        )
+        theta = {
+            r["query_id"]: float(r["theta"])
+            for r in (
+                phase1.withColumn("rn", F.row_number().over(wrank))
+                .where(F.col("rn") <= k)
+                .groupBy("query_id")
+                .agg(F.min("term_score").alias("theta"),
+                     F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+            if r["cnt"] >= k  # fewer than k docs: θ stays -inf
+        }
+
+    ninf = float("-inf")
+    quant = 10.0 ** -round_dp if round_dp is not None else 0.0
+    ub: dict[str, tuple[float, float]] = {}
+    for (q, t_, f) in qt_rows:
+        if t_ not in meta:
+            continue
+        w_ = _py_w(f, float(meta[t_][0]))
+        tmax = float(meta[t_][1]) * bfac
+        us, ns = ub.get(q, (0.0, 0.0))
+        ub[q] = (us + max(w_, 0.0) * tmax, ns + min(w_ * tmax, 0.0))
+    bthresh: dict[str, float] = {}
+    for (q, t_, f) in qt_rows:
+        if t_ not in meta:
+            continue
+        w_ = _py_w(f, float(meta[t_][0]))
+        if w_ <= 0:
+            rhs = ninf
+        else:
+            th = theta.get(q, ninf) - quant
+            ubsum, negsum = ub[q]
+            tmax = float(meta[t_][1]) * bfac
+            rhs = (th + negsum - ubsum) / (w_ * bfac) + tmax / bfac
+        prev = bthresh.get(t_)
+        if prev is None or rhs < prev:
+            bthresh[t_] = rhs
+    # epsilon-relax every finite threshold toward KEEP (see comment)
+    for t_, v in list(bthresh.items()):
+        if not math.isinf(v):
+            bthresh[t_] = v - abs(v) * 1e-9 - 1e-12
+
+    thresh_local = F.broadcast(spark.createDataFrame(
+        [(t_, float(bthresh.get(t_, ninf))) for t_ in terms],
+        "term string, bthresh double"))
     blocks = (
-        payload.join(thresh, "term")
+        payload.join(thresh_local, "term")
         .withColumn(
             "keep_blocks",
             F.filter(
