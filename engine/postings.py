@@ -1168,30 +1168,49 @@ def init_stats(
     out_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    _keep_tokenized: bool = False,
 ) -> dict:
     """Write doc_stats + collection stats (idempotent; its own
-    checkpoint in the manifest). Returns the manifest."""
+    checkpoint in the manifest). Returns the manifest.
+
+    _keep_tokenized (build_index internal): return
+    (manifest, tokenized_df-or-None) instead, with the persisted
+    (doc_id, dl, content_sha, tokens) projection still live so the
+    encode stage can read the already-tokenized corpus instead of
+    re-scanning + re-tokenizing the raw input (round 6 — the build
+    paid the tokenize pass twice). None when the stats checkpoint
+    already existed (resume: the persist was never created)."""
     manifest = load_manifest(out_dir)
     if manifest["stats"] is not None:
-        return manifest
+        return (manifest, None) if _keep_tokenized else manifest
     ds_path = os.path.join(out_dir, "doc_stats")
     st_path = os.path.join(out_dir, "stats")
     from pyspark import StorageLevel
+    from pyspark.sql import Observation
 
-    # two consumers below (doc_stats write + term dictionary); DISK_ONLY:
-    # at 100 TB the tokenized corpus never fits in executor memory and
+    # three consumers (doc_stats write + term dictionary + the encode
+    # stage when build_index passes _keep_tokenized); DISK_ONLY: at
+    # 100 TB the tokenized corpus never fits in executor memory and
     # evicting it through the memory pool just adds GC pressure
     tokenized = with_tokens(corpus, text_col).select(
         F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("_text"),
+        F.size("tokens").cast("long").alias("dl"),
+        F.sha2(F.col(text_col), 256).alias("content_sha"),
         "tokens",
     ).persist(StorageLevel.DISK_ONLY)
-    toks = tokenized.select(
-        "doc_id",
-        F.size("tokens").cast("long").alias("dl"),
-        F.sha2(F.col("_text"), 256).alias("content_sha"),
+    # collection stats observed ON the doc_stats write itself (round 6:
+    # the dedicated read-back aggregation job is pure action overhead —
+    # observe() accumulates the same count/avg/sum during the write)
+    obs = Observation("collection_stats")
+    (
+        tokenized.select("doc_id", "dl", "content_sha")
+        .observe(obs,
+                 F.count(F.lit(1)).alias("n_docs"),
+                 F.avg("dl").alias("avgdl"),
+                 F.sum("dl").alias("n_tokens"))
+        .write.mode("overwrite").parquet(ds_path)
     )
-    toks.write.mode("overwrite").parquet(ds_path)
+    stats_obs = obs.get
     # term dictionary (tid = xxhash64(term) -> term): the build shuffles
     # integer tids only; the dictionary restores strings at merge. A
     # 64-bit collision would corrupt a posting list, so fail loudly.
@@ -1202,7 +1221,8 @@ def init_stats(
         .select(F.xxhash64("term").alias("tid"), "term")
         .write.mode("overwrite").parquet(dict_path)
     )
-    tokenized.unpersist()
+    if not _keep_tokenized:
+        tokenized.unpersist()
     # one job: collision check + distinct-term count (n_terms feeds the
     # term-aware auto pb_mod — _resolve_pb_mod)
     n_terms, collisions = (
@@ -1218,33 +1238,36 @@ def init_stats(
             f"{collisions} xxhash64 term-id collisions — rebuild with a "
             "wider term key (tid+length) before trusting this index"
         )
-    n_docs, avgdl, n_tokens = (
-        spark.read.schema(DOC_STATS_SCHEMA).parquet(ds_path)
-        .agg(F.count(F.lit(1)), F.avg("dl"), F.sum("dl"))
-        .collect()[0]
-    )
-    avgdl = float(avgdl or 0.0)
+    n_docs = int(stats_obs["n_docs"] or 0)
+    avgdl = float(stats_obs["avgdl"] or 0.0)
+    n_tokens = int(stats_obs["n_tokens"] or 0)
     spark.createDataFrame(
-        [(int(n_docs), avgdl)],
+        [(n_docs, avgdl)],
         StructType([StructField("n_docs", LongType()),
                     StructField("avgdl", DoubleType())]),
     ).write.mode("overwrite").parquet(st_path)
-    manifest["stats"] = {"n_docs": int(n_docs), "avgdl": avgdl,
-                         "n_tokens": int(n_tokens or 0),
+    manifest["stats"] = {"n_docs": n_docs, "avgdl": avgdl,
+                         "n_tokens": n_tokens,
                          "n_terms": n_terms}
     _save_manifest(out_dir, manifest)
-    return manifest
+    return (manifest, tokenized) if _keep_tokenized else manifest
 
 
 def raw_token_projection(docs: DataFrame, n_shards: int,
                          id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         pre_tokenized: bool = False) -> DataFrame:
     """The build's pre-shuffle projection: (shard, tid, doc_id, dl) —
     fixed-width integers only, one row per token occurrence. The single
     definition both build_index and the bench phase harness measure, so
-    the scaling numbers always describe the real build plan."""
+    the scaling numbers always describe the real build plan.
+
+    pre_tokenized: `docs` already carries a `tokens` array column (the
+    init_stats persist) — skip the tokenize expression and explode the
+    existing column, saving the build's second full tokenize pass."""
     shard_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
-    return with_tokens(docs, text_col).select(
+    base = docs if pre_tokenized else with_tokens(docs, text_col)
+    return base.select(
         shard_col.alias("shard"),
         F.col(id_col).alias("doc_id"),
         F.size("tokens").cast("long").alias("dl"),
@@ -1312,7 +1335,8 @@ def build_index(
     if combine not in ("mapside", "shuffle"):
         raise ValueError(
             f"combine must be 'mapside' or 'shuffle', got {combine!r}")
-    manifest = init_stats(spark, corpus, out_dir, id_col, text_col)
+    manifest, tokenized = init_stats(spark, corpus, out_dir, id_col,
+                                     text_col, _keep_tokenized=True)
     avgdl = manifest["stats"]["avgdl"]
 
     # Shards are the checkpoint/lineage unit; BATCHES are the job unit.
@@ -1322,61 +1346,106 @@ def build_index(
     # re-decompress the whole input (measured 2.5-3x slowdown under
     # concurrency). Default: one batch = all remaining shards (one pass
     # over the data); shrink shard_batch for finer failure recovery on
-    # very long builds.
+    # very long builds. When init_stats just ran, its persisted
+    # tokenized projection feeds the encode directly (round 6 — the
+    # build used to tokenize the corpus twice); on resume (stats
+    # checkpointed earlier) the raw corpus is re-tokenized as before.
     todo = [s for s in range(n_shards)
             if manifest["shards"].get(str(s), {}).get("status") != "ok"]
     batch_size = shard_batch or n_shards
 
     shard_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
-    for lo in range(0, len(todo), batch_size):
-        batch = todo[lo:lo + batch_size]
-        t0 = time.time()
-        sub = corpus if len(batch) == n_shards else corpus.where(
-            shard_col.isin(batch)
-        )
-        raw = raw_token_projection(sub, n_shards, id_col, text_col)
-        shuffled = (raw.repartition("shard", "tid")
-                    if combine == "shuffle" else raw)
-        if encode_impl == "arrow":
-            enc = shuffled.mapInArrow(
-                _encode_partition_arrow_fn(avgdl), TID_ENC_SCHEMA)
-        else:
-            enc = shuffled.mapInPandas(
-                _encode_partition_fn(avgdl), TID_ENC_SCHEMA)
-        (
-            enc.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("shard")
-            .parquet(os.path.join(out_dir, "partials"))
-        )
-        wall_ms = int((time.time() - t0) * 1000)
-        # lineage per shard from the written partials (one small agg)
-        # a shard that received no docs writes no dir — skip it (its
-        # manifest row below records zero counts)
-        shard_paths = [
-            p for p in (os.path.join(out_dir, "partials", f"shard={s}")
-                        for s in batch)
-            if os.path.exists(p)
-        ]
-        written = (
-            spark.read.option("basePath", os.path.join(out_dir, "partials"))
-            .parquet(*shard_paths)
-            .groupBy("shard")
-            .agg(F.count(F.lit(1)).alias("n_terms"),
-                 F.sum("n_docs").alias("n_postings"))
-            .collect()
-        ) if shard_paths else []
-        stats_by_shard = {int(r["shard"]): r for r in written}
-        for s in batch:
-            r = stats_by_shard.get(s)
-            manifest["shards"][str(s)] = {
-                "n_terms": int(r["n_terms"]) if r else 0,
-                "n_postings": int(r["n_postings"]) if r else 0,
-                "wall_ms": wall_ms,
-                "batch": [int(b) for b in batch],
-                "status": "ok",
-            }
-        _save_manifest(out_dir, manifest)
+    tok_shard_col = F.pmod(F.xxhash64(F.col("doc_id")),
+                           F.lit(n_shards)).cast("int")
+    try:
+        for lo in range(0, len(todo), batch_size):
+            batch = todo[lo:lo + batch_size]
+            t0 = time.time()
+            if tokenized is not None:
+                base = (tokenized if len(batch) == n_shards
+                        else tokenized.where(tok_shard_col.isin(batch)))
+                raw = raw_token_projection(base, n_shards, "doc_id",
+                                           pre_tokenized=True)
+            else:
+                sub = corpus if len(batch) == n_shards else corpus.where(
+                    shard_col.isin(batch)
+                )
+                raw = raw_token_projection(sub, n_shards, id_col, text_col)
+            shuffled = (raw.repartition("shard", "tid")
+                        if combine == "shuffle" else raw)
+            if encode_impl == "arrow":
+                enc = shuffled.mapInArrow(
+                    _encode_partition_arrow_fn(avgdl), TID_ENC_SCHEMA)
+            else:
+                enc = shuffled.mapInPandas(
+                    _encode_partition_fn(avgdl), TID_ENC_SCHEMA)
+            # per-shard lineage observed ON the write itself (round 6:
+            # the read-back aggregation was one more sequential job per
+            # batch); conditional count/sum per shard — bounded to
+            # small batches, large ones keep the read-back path
+            obs = None
+            if len(batch) <= 32:
+                from pyspark.sql import Observation
+
+                obs = Observation(f"lineage_{batch[0]}_{batch[-1]}")
+                metrics = []
+                for s in batch:
+                    is_s = F.col("shard") == s
+                    metrics.append(F.sum(F.when(is_s, 1).otherwise(0))
+                                   .alias(f"t{s}"))
+                    metrics.append(F.sum(F.when(is_s, F.col("n_docs"))
+                                         .otherwise(F.lit(0)))
+                                   .alias(f"p{s}"))
+                enc = enc.observe(obs, *metrics)
+            (
+                enc.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("shard")
+                .parquet(os.path.join(out_dir, "partials"))
+            )
+            wall_ms = int((time.time() - t0) * 1000)
+            if obs is not None:
+                vals = obs.get
+                stats_by_shard = {
+                    s: (int(vals[f"t{s}"] or 0), int(vals[f"p{s}"] or 0))
+                    for s in batch
+                }
+            else:
+                # lineage per shard from the written partials (one
+                # small agg); a shard that received no docs writes no
+                # dir — skip it (zero counts below)
+                shard_paths = [
+                    p for p in (os.path.join(out_dir, "partials",
+                                             f"shard={s}") for s in batch)
+                    if os.path.exists(p)
+                ]
+                written = (
+                    spark.read.option(
+                        "basePath", os.path.join(out_dir, "partials"))
+                    .parquet(*shard_paths)
+                    .groupBy("shard")
+                    .agg(F.count(F.lit(1)).alias("n_terms"),
+                         F.sum("n_docs").alias("n_postings"))
+                    .collect()
+                ) if shard_paths else []
+                stats_by_shard = {
+                    int(r["shard"]): (int(r["n_terms"]),
+                                      int(r["n_postings"]))
+                    for r in written
+                }
+            for s in batch:
+                r = stats_by_shard.get(s)
+                manifest["shards"][str(s)] = {
+                    "n_terms": r[0] if r else 0,
+                    "n_postings": r[1] if r else 0,
+                    "wall_ms": wall_ms,
+                    "batch": [int(b) for b in batch],
+                    "status": "ok",
+                }
+            _save_manifest(out_dir, manifest)
+    finally:
+        if tokenized is not None:
+            tokenized.unpersist()
 
     return merge_partials(spark, out_dir, hot_df_threshold, n_salts,
                           pb_mod=pb_mod)

@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 
 from . import B, K1, TOP_K
 from .analysis import with_tokens
-from .indexer import collection_stats as _cstats, doc_stats, postings_long, term_df
+from .indexer import term_df
 
 
 def query_term_freqs(queries: DataFrame) -> DataFrame:
@@ -135,14 +135,77 @@ def search_corpus(
     Convenience path that builds the uncompressed index inline; real
     deployments build once (indexer/postings) and query many times.
     """
-    from .csearch import local_query_terms
+    from .csearch import _track_persist, local_query_terms, \
+        release_serving_cache
 
-    pl = postings_long(corpus, id_col, text_col)
-    ds = doc_stats(corpus, id_col, text_col)
-    n_docs, avgdl = _cstats(ds).collect()[0]
+    # Tokenize ONCE (round 6): the old plan re-tokenized the corpus in
+    # every consumer — the stats pass, then df/hits/dl separately
+    # inside the final job (4 tokenize passes total). Persist the
+    # NARROW pre-shuffle tokens projection (not a shuffled aggregate —
+    # caching a shuffle output pins its initial partition count and
+    # defeats AQE coalescing, measured 3x slower here); doc_stats,
+    # collection stats, df and the hit rows all derive from the one
+    # cached tokenize. The persist rides the serving registry: the
+    # next search_corpus/search_index call (or release_serving_cache)
+    # drops it.
+    from pyspark.sql import Observation
+
+    release_serving_cache()
     qt, terms, _nq = local_query_terms(spark, queries)
-    if avgdl is None or n_docs == 0 or not terms:
-        return spark.createDataFrame(
-            [], "query_id string, doc_id long, score double, rank int"
+    empty = spark.createDataFrame(
+        [], "query_id string, doc_id long, score double, rank int"
+    )
+    if not terms:
+        return empty
+    toks = _track_persist(
+        with_tokens(corpus, text_col).select(
+            F.col(id_col).alias("doc_id"), "tokens").persist())
+    # one job does triple duty: fills the tokens cache, observes
+    # collection stats (count/avg — the same expressions the old
+    # dedicated aggregation ran) and collects df for the QUERY terms
+    # only (bounded by the query vocabulary). The collected dfs become
+    # a local relation, so the weight broadcast below builds
+    # driver-side with no further metadata scan.
+    obs = Observation("collection_stats")
+    dfs_rows = (
+        toks.observe(obs,
+                     F.count(F.lit(1)).alias("n_docs"),
+                     F.avg(F.size("tokens")).alias("avgdl"))
+        .select("doc_id", F.explode("tokens").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("term", "doc_id").agg(F.count(F.lit(1)))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    )
+    n_docs = int(obs.get["n_docs"] or 0)
+    avgdl = obs.get["avgdl"]
+    if avgdl is None or n_docs == 0:
+        return empty
+    dfs = spark.createDataFrame(
+        [(r["term"], int(r["df"])) for r in dfs_rows],
+        "term string, df long")
+    # Scoring plan (same expressions as bm25_scores, one stage fewer):
+    # dl rides the postings aggregate as a grouping column (constant
+    # per doc), so the per-doc-length join that bm25_scores does
+    # against doc_stats disappears; the weight table q is a join of
+    # two LOCAL relations, so its broadcast needs no Spark job.
+    pldl = (
+        toks.select("doc_id", F.size("tokens").cast("long").alias("dl"),
+                    F.explode("tokens").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+    q = F.broadcast(
+        qt.join(F.broadcast(dfs), "term").withColumn("idf", idf_expr(n_docs))
+    )
+    scored = (
+        pldl.join(q, "term")
+        .withColumn(
+            "term_score",
+            F.col("qtf").cast("double") * F.col("idf") * tf_part_expr(avgdl),
         )
-    return topk(bm25_scores(qt, pl, ds, n_docs, avgdl, terms=terms), k)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    return topk(scored, k)
