@@ -1162,6 +1162,103 @@ def _save_manifest(out_dir: str, m: dict) -> None:
     os.replace(tmp, _manifest_path(out_dir))
 
 
+def _write_stats_parquet(out_dir: str, n_docs: int, avgdl: float) -> None:
+    """Write the 1-row stats/ table driver-side with pyarrow (round 6:
+    a Spark write of a 1-row local relation is a full job at the
+    ~0.3 s action floor; the bytes are identical for readers —
+    spark.read.parquet infers the same long/double schema)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    st_path = os.path.join(out_dir, "stats")
+    shutil.rmtree(st_path, ignore_errors=True)
+    os.makedirs(st_path, exist_ok=True)
+    pq.write_table(
+        pa.table({"n_docs": pa.array([int(n_docs)], type=pa.int64()),
+                  "avgdl": pa.array([float(avgdl)], type=pa.float64())}),
+        os.path.join(st_path, "part-00000.parquet"),
+    )
+
+
+def _tokenized_projection(corpus: DataFrame, id_col: str, text_col: str):
+    """The build's shared tokenize: (doc_id, dl, content_sha, tokens),
+    persisted DISK_ONLY by callers — at 100 TB the tokenized corpus
+    never fits in executor memory and evicting it through the memory
+    pool just adds GC pressure. Three consumers: the doc_stats write,
+    the term dictionary, and the encode stage (round 6 — the build
+    used to pay the tokenize pass twice)."""
+    return with_tokens(corpus, text_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.size("tokens").cast("long").alias("dl"),
+        F.sha2(F.col(text_col), 256).alias("content_sha"),
+        "tokens",
+    )
+
+
+def _write_doc_stats_observed(tokenized: DataFrame, out_dir: str):
+    """doc_stats write with collection stats observed ON the write
+    itself (round 6: the dedicated read-back aggregation job was pure
+    action overhead — observe() accumulates the same count/avg/sum
+    during the write). Returns (n_docs, avgdl, n_tokens)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("collection_stats")
+    (
+        tokenized.select("doc_id", "dl", "content_sha")
+        .observe(obs,
+                 F.count(F.lit(1)).alias("n_docs"),
+                 F.avg("dl").alias("avgdl"),
+                 F.sum("dl").alias("n_tokens"))
+        .write.mode("overwrite").parquet(os.path.join(out_dir, "doc_stats"))
+    )
+    vals = obs.get
+    return (int(vals["n_docs"] or 0), float(vals["avgdl"] or 0.0),
+            int(vals["n_tokens"] or 0))
+
+
+def _write_term_dict_checked(spark: SparkSession, tokenized: DataFrame,
+                             out_dir: str) -> int:
+    """Term dictionary (tid = xxhash64(term) -> term) write + collision
+    check: the build shuffles integer tids only; the dictionary
+    restores strings at merge. A 64-bit collision would corrupt a
+    posting list, so fail loudly. Returns n_terms (feeds the
+    term-aware auto pb_mod — _resolve_pb_mod)."""
+    dict_path = os.path.join(out_dir, "term_dict")
+    (
+        tokenized.select(F.explode("tokens").alias("term"))
+        .distinct()
+        .select(F.xxhash64("term").alias("tid"), "term")
+        .write.mode("overwrite").parquet(dict_path)
+    )
+    n_terms, collisions = (
+        spark.read.schema(TERM_DICT_SCHEMA).parquet(dict_path)
+        .groupBy("tid").agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)),
+             F.sum(F.when(F.col("c") > 1, 1).otherwise(0)))
+        .collect()[0]
+    )
+    n_terms, collisions = int(n_terms or 0), int(collisions or 0)
+    if collisions:
+        raise RuntimeError(
+            f"{collisions} xxhash64 term-id collisions — rebuild with a "
+            "wider term key (tid+length) before trusting this index"
+        )
+    return n_terms
+
+
+def _finalize_stats(out_dir: str, manifest: dict, n_docs: int,
+                    avgdl: float, n_tokens: int, n_terms: int) -> dict:
+    """Durable stats checkpoint: written ONLY once doc_stats, the
+    term dictionary AND the collision check are all complete, so
+    `manifest['stats'] is not None` keeps implying every init output
+    exists (the resume contract)."""
+    _write_stats_parquet(out_dir, n_docs, avgdl)
+    manifest["stats"] = {"n_docs": n_docs, "avgdl": avgdl,
+                         "n_tokens": n_tokens, "n_terms": n_terms}
+    _save_manifest(out_dir, manifest)
+    return manifest
+
+
 def init_stats(
     spark: SparkSession,
     corpus: DataFrame,
@@ -1183,73 +1280,16 @@ def init_stats(
     manifest = load_manifest(out_dir)
     if manifest["stats"] is not None:
         return (manifest, None) if _keep_tokenized else manifest
-    ds_path = os.path.join(out_dir, "doc_stats")
-    st_path = os.path.join(out_dir, "stats")
     from pyspark import StorageLevel
-    from pyspark.sql import Observation
 
-    # three consumers (doc_stats write + term dictionary + the encode
-    # stage when build_index passes _keep_tokenized); DISK_ONLY: at
-    # 100 TB the tokenized corpus never fits in executor memory and
-    # evicting it through the memory pool just adds GC pressure
-    tokenized = with_tokens(corpus, text_col).select(
-        F.col(id_col).alias("doc_id"),
-        F.size("tokens").cast("long").alias("dl"),
-        F.sha2(F.col(text_col), 256).alias("content_sha"),
-        "tokens",
-    ).persist(StorageLevel.DISK_ONLY)
-    # collection stats observed ON the doc_stats write itself (round 6:
-    # the dedicated read-back aggregation job is pure action overhead —
-    # observe() accumulates the same count/avg/sum during the write)
-    obs = Observation("collection_stats")
-    (
-        tokenized.select("doc_id", "dl", "content_sha")
-        .observe(obs,
-                 F.count(F.lit(1)).alias("n_docs"),
-                 F.avg("dl").alias("avgdl"),
-                 F.sum("dl").alias("n_tokens"))
-        .write.mode("overwrite").parquet(ds_path)
-    )
-    stats_obs = obs.get
-    # term dictionary (tid = xxhash64(term) -> term): the build shuffles
-    # integer tids only; the dictionary restores strings at merge. A
-    # 64-bit collision would corrupt a posting list, so fail loudly.
-    dict_path = os.path.join(out_dir, "term_dict")
-    (
-        tokenized.select(F.explode("tokens").alias("term"))
-        .distinct()
-        .select(F.xxhash64("term").alias("tid"), "term")
-        .write.mode("overwrite").parquet(dict_path)
-    )
+    tokenized = _tokenized_projection(corpus, id_col, text_col).persist(
+        StorageLevel.DISK_ONLY)
+    n_docs, avgdl, n_tokens = _write_doc_stats_observed(tokenized, out_dir)
+    n_terms = _write_term_dict_checked(spark, tokenized, out_dir)
     if not _keep_tokenized:
         tokenized.unpersist()
-    # one job: collision check + distinct-term count (n_terms feeds the
-    # term-aware auto pb_mod — _resolve_pb_mod)
-    n_terms, collisions = (
-        spark.read.schema(TERM_DICT_SCHEMA).parquet(dict_path)
-        .groupBy("tid").agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.count(F.lit(1)),
-             F.sum(F.when(F.col("c") > 1, 1).otherwise(0)))
-        .collect()[0]
-    )
-    n_terms, collisions = int(n_terms or 0), int(collisions or 0)
-    if collisions:
-        raise RuntimeError(
-            f"{collisions} xxhash64 term-id collisions — rebuild with a "
-            "wider term key (tid+length) before trusting this index"
-        )
-    n_docs = int(stats_obs["n_docs"] or 0)
-    avgdl = float(stats_obs["avgdl"] or 0.0)
-    n_tokens = int(stats_obs["n_tokens"] or 0)
-    spark.createDataFrame(
-        [(n_docs, avgdl)],
-        StructType([StructField("n_docs", LongType()),
-                    StructField("avgdl", DoubleType())]),
-    ).write.mode("overwrite").parquet(st_path)
-    manifest["stats"] = {"n_docs": n_docs, "avgdl": avgdl,
-                         "n_tokens": n_tokens,
-                         "n_terms": n_terms}
-    _save_manifest(out_dir, manifest)
+    manifest = _finalize_stats(out_dir, manifest, n_docs, avgdl,
+                               n_tokens, n_terms)
     return (manifest, tokenized) if _keep_tokenized else manifest
 
 
@@ -1335,9 +1375,32 @@ def build_index(
     if combine not in ("mapside", "shuffle"):
         raise ValueError(
             f"combine must be 'mapside' or 'shuffle', got {combine!r}")
-    manifest, tokenized = init_stats(spark, corpus, out_dir, id_col,
-                                     text_col, _keep_tokenized=True)
-    avgdl = manifest["stats"]["avgdl"]
+    # Fresh build: run the init jobs inline so the term-dictionary
+    # write + collision check can OVERLAP the encode stage (guide §2.6
+    # — independent jobs back-fill executors; both only read the
+    # shared tokenized persist, which the doc_stats write has already
+    # materialized, and they write disjoint directories). The stats
+    # checkpoint is finalized only after BOTH the dictionary thread
+    # and (implicitly) doc_stats complete, so `manifest['stats'] is
+    # not None` keeps implying every init output exists; a crash
+    # mid-encode re-runs init idempotently on resume.
+    manifest = load_manifest(out_dir)
+    tokenized = None
+    dict_pool = dict_future = pending_stats = None
+    if manifest["stats"] is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import StorageLevel
+
+        tokenized = _tokenized_projection(corpus, id_col, text_col).persist(
+            StorageLevel.DISK_ONLY)
+        pending_stats = _write_doc_stats_observed(tokenized, out_dir)
+        avgdl = pending_stats[1]
+        dict_pool = ThreadPoolExecutor(max_workers=1)
+        dict_future = dict_pool.submit(
+            _write_term_dict_checked, spark, tokenized, out_dir)
+    else:
+        avgdl = manifest["stats"]["avgdl"]
 
     # Shards are the checkpoint/lineage unit; BATCHES are the job unit.
     # One Spark job scans+tokenizes the corpus ONCE per batch and fans
@@ -1443,7 +1506,16 @@ def build_index(
                     "status": "ok",
                 }
             _save_manifest(out_dir, manifest)
+        if dict_future is not None:
+            # join the overlapped dictionary/collision thread, then
+            # make the stats checkpoint durable (raises here on a tid
+            # collision, exactly like the sequential init did)
+            n_terms = dict_future.result()
+            manifest = _finalize_stats(out_dir, manifest, *pending_stats,
+                                       n_terms)
     finally:
+        if dict_pool is not None:
+            dict_pool.shutdown(wait=True)
         if tokenized is not None:
             tokenized.unpersist()
 
@@ -1510,11 +1582,7 @@ def refresh_stats(spark: SparkSession, out_dir: str, manifest: dict) -> dict:
         .collect()[0]
     )
     avgdl = float(avgdl or 0.0)
-    spark.createDataFrame(
-        [(int(n_docs), avgdl)],
-        StructType([StructField("n_docs", LongType()),
-                    StructField("avgdl", DoubleType())]),
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
+    _write_stats_parquet(out_dir, int(n_docs), avgdl)
     manifest["stats"]["n_docs"] = int(n_docs)
     manifest["stats"]["avgdl"] = avgdl
     _save_manifest(out_dir, manifest)
