@@ -57,6 +57,7 @@ from pyspark.sql.window import Window
 
 from . import TOP_K
 from .codec import decode_blocked, tf_part
+from .localrel import local_df
 from .search import idf_expr
 
 SCORE_ROWS = StructType(
@@ -917,7 +918,8 @@ def local_query_terms(spark: SparkSession, queries: DataFrame):
             terms.add(term)
     if not qt_rows:
         return None, [], []
-    qt = spark.createDataFrame(qt_rows, "query_id string, term string, qtf double")
+    # LocalRelation (round 6): joins/broadcasts over qt launch no jobs
+    qt = local_df(spark, qt_rows, "query_id string, term string, qtf double")
     return qt, sorted(terms), qt_rows
 
 
@@ -1155,8 +1157,9 @@ def search_index(
             [r.doc_id for r in tombs.select("doc_id").collect()],
             dtype=np.int64))
         if dead_ids.size:
-            tombs = F.broadcast(spark.createDataFrame(
-                [(int(i),) for i in dead_ids.tolist()], "doc_id long"))
+            tombs = F.broadcast(local_df(
+                spark, [(int(i),) for i in dead_ids.tolist()],
+                "doc_id long"))
         else:
             tombs, dead_ids = None, None
 
@@ -1276,9 +1279,8 @@ def search_index(
         rows = [(q, t_, f, float(meta[t_][0]))
                 for (q, t_, f) in qt_rows if t_ in meta]
         return (
-            spark.createDataFrame(
-                rows,
-                "query_id string, term string, qtf double, df double")
+            local_df(spark, rows,
+                     "query_id string, term string, qtf double, df double")
             .withColumn("idf", idf_expr(n_docs))
             .withColumn("w", F.col("qtf") * F.col("idf"))
         )
@@ -1375,8 +1377,9 @@ def search_index(
             # bit-identical.
             decoded = _decode_tf_parts(rows, avgdl, keep_col,
                                        spread=spread, with_df=True)
-            qtl = F.broadcast(spark.createDataFrame(
-                qt_rows, "query_id string, term string, qtf double"))
+            qtl = F.broadcast(local_df(
+                spark, qt_rows,
+                "query_id string, term string, qtf double"))
             return _finish(
                 decoded.join(qtl, "term")
                 .withColumn("w", F.col("qtf") * idf_expr(n_docs))
@@ -1475,7 +1478,8 @@ def search_index(
         # (IN-pushdown, no semi-join); w is JVM-evaluated on the local
         # rareq relation, so θ is bit-identical to the old plan's.
         rareq_local = F.broadcast(
-            spark.createDataFrame(
+            local_df(
+                spark,
                 [(q, v[1], qtf_map[(q, v[1])], float(meta[v[1]][0]))
                  for q, v in rare_pick.items()],
                 "query_id string, term string, qtf double, df double")
@@ -1535,8 +1539,8 @@ def search_index(
         if not math.isinf(v):
             bthresh[t_] = v - abs(v) * 1e-9 - 1e-12
 
-    thresh_local = F.broadcast(spark.createDataFrame(
-        [(t_, float(bthresh.get(t_, ninf))) for t_ in terms],
+    thresh_local = F.broadcast(local_df(
+        spark, [(t_, float(bthresh.get(t_, ninf))) for t_ in terms],
         "term string, bthresh double"))
     blocks = (
         payload.join(thresh_local, "term")

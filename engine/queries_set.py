@@ -80,8 +80,17 @@ QUERIES_SCHEMA = StructType(
 
 
 def queries_df(spark: SparkSession):
-    """The query set as a (tiny, broadcastable) DataFrame — SURVEY S2."""
-    return spark.createDataFrame(list(REFERENCE_QUERIES), QUERIES_SCHEMA)
+    """The query set as a (tiny, broadcastable) DataFrame — SURVEY S2.
+
+    Round 6: built as a true LocalRelation (engine.localrel) — collect
+    is driver-only and joins/broadcasts over it launch no extra jobs,
+    where the old RDD-backed createDataFrame cut 50 rows into 32
+    slices and made every consumer pay a multi-task job (a cross join
+    of two of them was a 1,024-task CartesianProduct)."""
+    from .localrel import local_df
+
+    return local_df(spark, list(REFERENCE_QUERIES),
+                    "query_id string, query string")
 
 
 def queries_sql_values(alias: str = "queries") -> str:

@@ -181,8 +181,10 @@ def search_corpus(
     avgdl = obs.get["avgdl"]
     if avgdl is None or n_docs == 0:
         return empty
-    dfs = spark.createDataFrame(
-        [(r["term"], int(r["df"])) for r in dfs_rows],
+    from .localrel import local_df
+
+    dfs = local_df(
+        spark, [(r["term"], int(r["df"])) for r in dfs_rows],
         "term string, df long")
     # Scoring plan (same expressions as bm25_scores, one stage fewer):
     # dl rides the postings aggregate as a grouping column (constant
