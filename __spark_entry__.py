@@ -329,9 +329,20 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     nd = embedding_near_dup(planted, threshold=NEAR_DUP_THRESHOLD)
-    n_true = truth.count()
-    n_nd = nd.count()
-    n_hit = truth.join(nd, ["doc_a", "doc_b"]).count()
+    # one evaluation each (round 6): the three separate .count()
+    # actions re-ran the 10^6-pair exact-cosine truth join and the LSH
+    # verify twice over. Both tables are bounded (hundreds of pairs),
+    # so collect once and count driver-side with IDENTICAL semantics:
+    # truth rows are unique by construction, nd may repeat a pair (one
+    # candidate row per shared bucket) and each repeat joins exactly
+    # one truth row — n_hit counts nd ROWS whose pair is in the truth
+    # set, exactly what the old inner-join count returned.
+    truth_set = {(r["doc_a"], r["doc_b"]) for r in truth.collect()}
+    nd_rows = [(r["doc_a"], r["doc_b"])
+               for r in nd.select("doc_a", "doc_b").collect()]
+    n_true = len(truth_set)
+    n_nd = len(nd_rows)
+    n_hit = sum(p in truth_set for p in nd_rows)
     recall_nd = n_hit / n_true if n_true else 0.0
     rows = [
         ("rp_topk", bool(recall_rp >= ANN_RECALL_TARGET), True),
@@ -514,7 +525,12 @@ def q_ranklib_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                             mean_average_precision)
     from engine.rerank import weighted_rerank
 
-    lab = _ltr_features(spark, sf_dir)
+    # materialize the feature table once (round 6): training runs ~20
+    # actions (normal-equation pass, MAP evaluations of every line-
+    # search candidate, the rerank counts) and each used to re-derive
+    # the whole bm25+lm+zscore+qrels lineage; localCheckpoint cuts that
+    # to one computation without changing any value downstream reads
+    lab = _ltr_features(spark, sf_dir).localCheckpoint()
     ws = fit_linear_weights(lab, ["f1", "f2"], "y")
     w1, w2 = (round(w, 6) for w in ws)
     sc = lab.withColumn(
