@@ -36,15 +36,21 @@ def _res(spark, idx, qs, **kw):
     )
 
 
+@pytest.mark.parametrize("decode_impl", ["arrow", "pandas"])
 @pytest.mark.parametrize("round_dp", [None, 4])
-def test_all_routes_rank_identical(spark, r9_index, round_dp):
+def test_all_routes_rank_identical(spark, r9_index, round_dp, decode_impl,
+                                   monkeypatch):
     """The round-6 restructure must keep every (prune x agg_impl)
     route rank-identical: unpruned join now scores from the decoded
     rows' own df column (no qterm at all), pruned computes its block
     thresholds driver-side from collected metadata, matmul feeds from
     the local qterm relation. Any driver-float slack in the pruning
     bounds may only widen the kept-block superset, never change
-    results."""
+    results. Parametrized over BOTH decode kernel twins so the pandas
+    df-passthrough variant stays covered."""
+    import engine.csearch as cs
+
+    monkeypatch.setattr(cs, "DECODE_IMPL", decode_impl)
     qs = spark.createDataFrame(
         [("q0", "apple fig"), ("q1", "banana t3 zzz_absent"),
          ("q2", "cherry cherry apple")],
