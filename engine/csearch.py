@@ -1188,9 +1188,22 @@ def search_index(
         else:
             release_warm(index)
             wt, warm_ok = None, False
+    import time as _time
+
+    _prof_t0 = _time.time()
+    _prof = os.environ.get("SPARK_GRAFT_SERVE_PROF") == "1"
+
+    def _mark(name: str) -> None:
+        if _prof:
+            import sys as _sys
+
+            print(f"SPROF {name} +{_time.time() - _prof_t0:.3f}s",
+                  file=_sys.stderr, flush=True)
+
     if prune == "auto":
         prune = n_docs >= AUTO_PRUNE_MIN_DOCS
     qt, terms, qt_rows = local_query_terms(spark, queries)
+    _mark("local_query_terms")
     n_queries = len({r[0] for r in qt_rows})
     empty = spark.createDataFrame(
         [], "query_id string, doc_id long, score double, rank int"
@@ -1270,6 +1283,7 @@ def search_index(
                 ).collect()
                 if r["df"] is not None and r["bmax_raw"] is not None
             }
+        _mark("meta(JobA)")
 
     def _qterm_local() -> DataFrame:
         """(query_id, term, qtf, df, idf, w) as a LOCAL relation —
@@ -1490,11 +1504,27 @@ def search_index(
                 "query_id string, term string, qtf double, df double")
             .withColumn("w", F.col("qtf") * idf_expr(n_docs))
             .select("query_id", "term", "w"))
+        # Phase-1 decodes the RAREST term of each query — usually tiny
+        # posting lists. The blanket spread (defaultParallelism x 4)
+        # made this a 128-task stage of pure scheduling overhead
+        # (measured ~3.5 s of a 12 s design-regime batch); the rare
+        # dfs are already driver-side, so derive the fan-out from the
+        # actual decode row count instead (scale-adaptive): below
+        # 200k rows the natural scan partitioning is plenty, above it
+        # spread ~100k rows per task, capped at the old width. A
+        # single all-hot-term query (its "rare" term is still hot)
+        # therefore still spreads across that term's salted chunks.
+        ph_rows = (payload.where(F.col("term").isin(rare_terms))
+                   .select(*payload_cols))
+        est_rows = sum(float(meta[v[1]][0]) for v in rare_pick.values())
+        if spread and est_rows >= 200_000:
+            width = int(min(
+                spark.sparkContext.defaultParallelism * 4,
+                max(2, est_rows // 100_000),
+            ))
+            ph_rows = ph_rows.repartition(width)
         phase1 = _live(
-            _decode_tf_parts(
-                payload.where(F.col("term").isin(rare_terms))
-                .select(*payload_cols),
-                avgdl, None, spread=spread)
+            _decode_tf_parts(ph_rows, avgdl, None, spread=False)
             .join(rareq_local, "term")
             .withColumn("term_score", F.col("w") * F.col("tf_part"))
         )
@@ -1513,6 +1543,7 @@ def search_index(
             )
             if r["cnt"] >= k  # fewer than k docs: θ stays -inf
         }
+        _mark("theta(JobB)")
 
     ninf = float("-inf")
     quant = 10.0 ** -round_dp if round_dp is not None else 0.0
@@ -1562,6 +1593,7 @@ def search_index(
             ),
         )
     )
+    _mark("thresholds(driver)")
     keep_cols = (payload_cols if agg_impl == "matmul"
                  else (*payload_cols, "df"))
     return _score_topk(blocks.select(*keep_cols, "keep_blocks"),
