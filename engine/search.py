@@ -135,37 +135,34 @@ def search_corpus(
     Convenience path that builds the uncompressed index inline; real
     deployments build once (indexer/postings) and query many times.
     """
-    from .csearch import _track_persist, local_query_terms, \
-        release_serving_cache
+    from .csearch import local_query_terms
 
-    # Tokenize ONCE (round 6): the old plan re-tokenized the corpus in
-    # every consumer — the stats pass, then df/hits/dl separately
-    # inside the final job (4 tokenize passes total). Persist the
-    # NARROW pre-shuffle tokens projection (not a shuffled aggregate —
-    # caching a shuffle output pins its initial partition count and
-    # defeats AQE coalescing, measured 3x slower here); doc_stats,
-    # collection stats, df and the hit rows all derive from the one
-    # cached tokenize. The persist rides the serving registry: the
-    # next search_corpus/search_index call (or release_serving_cache)
-    # drops it.
+    # Two tokenize passes instead of four (round 6): the old plan
+    # re-tokenized the corpus in every consumer — the stats pass, then
+    # df/hits/dl separately inside the final job. Now pass 1 observes
+    # collection stats WHILE collecting the query terms' df, and pass 2
+    # is the scoring job itself (dl rides the postings aggregate, the
+    # weight table is local — nothing else touches the corpus).
+    # Persisting the tokens instead measured a wash-to-loss: the cache
+    # write of the token arrays costs more than one extra JVM regex
+    # pass (and caching the SHUFFLED aggregate pinned its 256 initial
+    # partitions and defeated AQE coalescing — 3x slower).
     from pyspark.sql import Observation
 
-    release_serving_cache()
     qt, terms, _nq = local_query_terms(spark, queries)
     empty = spark.createDataFrame(
         [], "query_id string, doc_id long, score double, rank int"
     )
     if not terms:
         return empty
-    toks = _track_persist(
-        with_tokens(corpus, text_col).select(
-            F.col(id_col).alias("doc_id"), "tokens").persist())
-    # one job does triple duty: fills the tokens cache, observes
-    # collection stats (count/avg — the same expressions the old
-    # dedicated aggregation ran) and collects df for the QUERY terms
-    # only (bounded by the query vocabulary). The collected dfs become
-    # a local relation, so the weight broadcast below builds
-    # driver-side with no further metadata scan.
+    toks = with_tokens(corpus, text_col).select(
+        F.col(id_col).alias("doc_id"), "tokens")
+    # one job does double duty: observes collection stats (count/avg —
+    # the same expressions the old dedicated aggregation ran) and
+    # collects df for the QUERY terms only (bounded by the query
+    # vocabulary). The collected dfs become a local relation, so the
+    # weight broadcast below builds driver-side with no further
+    # metadata scan.
     obs = Observation("collection_stats")
     dfs_rows = (
         toks.observe(obs,
