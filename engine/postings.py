@@ -691,12 +691,19 @@ def _merge_onepass_arrow_fn(avgdl: float, pb_mod: int, chunk_postings: int,
 
 
 def merge_onepass_plan(spark: SparkSession, out_dir: str, avgdl: float,
-                       pb_mod: int, chunk_postings: int) -> DataFrame:
+                       pb_mod: int, chunk_postings: int,
+                       dict_distinct: bool = True) -> DataFrame:
     """The one-pass full-merge dataflow (see _merge_onepass_arrow_fn):
     (partials ∪ term_dict) -> repartition by pb -> batched kernel ->
     final serving rows, one payload exchange total. Dict rows travel
     as n_docs=0 + empty payload so the union is null-free; partials
-    never contain n_docs=0 rows (the encoders skip empty groups)."""
+    never contain n_docs=0 rows (the encoders skip empty groups).
+
+    dict_distinct: only STREAM micro-batches ever append (possibly
+    repeated) dictionary rows — init_stats writes the dict distinct by
+    construction — so a never-streamed index skips the full-vocabulary
+    distinct shuffle (round 6; merge_partials passes the durable
+    ever-streamed signal)."""
     partials = spark.read.option(
         "basePath", os.path.join(out_dir, "partials")
     ).parquet(os.path.join(out_dir, "partials"))
@@ -704,7 +711,9 @@ def merge_onepass_plan(spark: SparkSession, out_dir: str, avgdl: float,
         F.lit("").alias("term"), "tid", "n_docs",
         "doc_bytes", "tf_bytes", "dl_bytes", "doc_off")
     tdict = spark.read.schema(TERM_DICT_SCHEMA).parquet(
-        os.path.join(out_dir, "term_dict")).distinct()
+        os.path.join(out_dir, "term_dict"))
+    if dict_distinct:
+        tdict = tdict.distinct()
     empty = F.lit(b"")
     dict_rows = tdict.select(
         "term", "tid", F.lit(0).cast("long").alias("n_docs"),
@@ -1597,6 +1606,7 @@ def merge_plan(
     n_salts: int = 8,
     only_tids: DataFrame | None = None,
     merge_impl: str | None = None,
+    dict_distinct: bool = True,
 ) -> DataFrame:
     """The merge dataflow as an unexecuted DataFrame (separated so plan
     tests can assert its physical shape — no broadcast of per-term
@@ -1650,8 +1660,11 @@ def merge_plan(
         raise ValueError(f"merge_impl must be 'arrow' or 'group', got "
                          f"{impl!r}")
     # distinct: streaming batches append (possibly repeated) dict rows
+    # — skipped for never-streamed indexes (see merge_onepass_plan)
     tdict = spark.read.schema(TERM_DICT_SCHEMA).parquet(
-        os.path.join(out_dir, "term_dict")).distinct()
+        os.path.join(out_dir, "term_dict"))
+    if dict_distinct:
+        tdict = tdict.distinct()
     return (
         merged.join(dfs, "tid")
         .join(tdict, "tid")
@@ -1922,18 +1935,30 @@ def merge_partials(
     new_dir = os.path.join(out_dir, new_name)
     shutil.rmtree(new_dir, ignore_errors=True)
     full_impl = os.environ.get("SPARK_GRAFT_MERGE_FULL", "onepass")
+    # dictionary duplicates can only exist once ANY stream micro-batch
+    # appended dict rows (streaming.start_incremental_index appends per
+    # batch; init_stats writes distinct); belt-and-braces durable
+    # signals so a retired/deduped stream history still counts
+    ever_streamed = (
+        bool(stream_shards)
+        or bool(manifest.get("merged_stream_shards"))
+        or any(v.get("streaming") for v in manifest["shards"].values())
+        or os.path.exists(os.path.join(out_dir, "doc_stats_stream"))
+    )
     if full_impl == "onepass":
         # one payload exchange total; rows already live in their pb's
         # partition, so the partitioned write needs no repartition
         out = merge_onepass_plan(spark, out_dir, avgdl, pb_mod,
-                                 chunk_postings=hot_df_threshold)
+                                 chunk_postings=hot_df_threshold,
+                                 dict_distinct=ever_streamed)
         (
             out.sortWithinPartitions("pb", "term")
             .write.mode("overwrite").partitionBy("pb")
             .parquet(new_dir)
         )
     elif full_impl == "classic":
-        out = merge_plan(spark, out_dir, avgdl, hot_df_threshold, n_salts)
+        out = merge_plan(spark, out_dir, avgdl, hot_df_threshold, n_salts,
+                         dict_distinct=ever_streamed)
         (
             out.withColumn("pb", _pb_col(pb_mod))
             .repartition("pb")
